@@ -1,0 +1,437 @@
+"""Pallas TPU flash attention (forward + backward).
+
+TPU-native replacement for the reference's flash-attn CUDA dependency
+(reference call sites: opensora/models/mmdit/math.py:16-36 and the fwd/bwd
+primitives re-exported for ring attention in
+opensora/models/mmdit/distributed.py:115-217).
+
+Design notes
+------------
+- Layout (B, H, L, D), D = head_dim (128 for MMDiT). fp32 accumulation, MXU
+  matmuls via dot_general with preferred_element_type=f32.
+- Online softmax with running (m, l) scratch carried across the innermost
+  (sequential) kv-block grid dimension; the log-sum-exp is exposed so ring
+  attention can rescale partial outputs across ppermute steps (the
+  `_rescale_out_lse` semantics of reference distributed.py:305-373).
+- Optional ``causal_block``: frame-causal masking at a granularity of
+  ``causal_block`` tokens (tokens of frame i attend to frames <= i). This is
+  the mask the HunyuanVideo VAE mid-block attention needs (reference
+  opensora/models/hunyuan_vae/unet_causal_3d_blocks.py:52-60) — computed
+  in-kernel from indices instead of materializing an O(L^2) bias.
+- Backward = two kernels (dkv over kv-major grid, dq over q-major grid),
+  recomputing p from the stored LSE, flash-attention-v2 style.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+
+def _zero_tail_rows(x, blk_idx, block, valid_len):
+    """Zero rows of a loaded tile that lie beyond ``valid_len``.
+
+    Out-of-bounds tail blocks are backed by unspecified memory; any NaN/inf
+    there poisons MXU contractions (0 * NaN = NaN), so garbage rows must be
+    zeroed in the data itself, not just masked in the scores.
+    """
+    rows = blk_idx * block + lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows < valid_len, x, jnp.zeros_like(x))
+
+def _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block):
+    """Apply tail-padding + frame-causal masks to a (bq, bk) score tile."""
+    bq, bk = s.shape
+    need_tail = kv_len % block_k != 0
+    if need_tail or causal_block is not None:
+        col = ki * block_k + lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    if need_tail:
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    if causal_block is not None:
+        row = qi * block_q + lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        s = jnp.where(col // causal_block <= row // causal_block, s, NEG_INF)
+    return s
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, sm_scale, block_q, block_k, q_len, kv_len, causal_block,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    if kv_len % block_k != 0:
+        k = _zero_tail_rows(k, ki, block_k, kv_len)
+        v = _zero_tail_rows(v, ki, block_k, kv_len)
+
+    s = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale
+    s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # guard fully-masked tiles: exp(NEG_INF - NEG_INF) would be 1, poisoning
+    # l/acc; anchor the exponent at 0 when the whole row is still masked.
+    m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
+    p = jnp.exp(s - m_safe)
+    correction = jnp.exp(m_prev - m_safe)
+    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[...] = acc_scr[...] * correction + pv
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0, :, 0] = (m_scr[:, 0] + jnp.log(l_safe[:, 0])).astype(lse_ref.dtype)
+
+
+def _flash_forward(
+    q, k, v, *, sm_scale, block_q, block_k, causal_block, debug=False, interpret=False
+):
+    batch, heads, q_len, dim = q.shape
+    kv_len = k.shape[2]
+    block_q = min(block_q, q_len)
+    block_k = min(block_k, kv_len)
+    nq = pl.cdiv(q_len, block_q)
+    nk = pl.cdiv(kv_len, block_k)
+
+    grid = (batch, heads, nq, nk)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel,
+            sm_scale=sm_scale,
+            block_q=block_q,
+            block_k=block_k,
+            q_len=q_len,
+            kv_len=kv_len,
+            causal_block=causal_block,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((batch, heads, q_len, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        debug=debug,
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse[..., 0]
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, sm_scale, block_q, block_k, q_len, kv_len, causal_block,
+):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]        # (bq, d)
+    k = k_ref[0, 0]        # (bk, d)
+    v = v_ref[0, 0]        # (bk, d)
+    do = do_ref[0, 0]      # (bq, d)
+    lse = lse_ref[0, 0, :, 0]    # (bq,)
+    delta = delta_ref[0, 0, :, 0]  # (bq,)
+    if q_len % block_q != 0:
+        q = _zero_tail_rows(q, qi, block_q, q_len)
+        do = _zero_tail_rows(do, qi, block_q, q_len)
+        # lse/delta tail entries are unspecified (NaN in interpret mode);
+        # 0 * NaN = NaN would poison the dk/dv contractions.
+        lse = _zero_tail_rows(lse_ref[0, 0], qi, block_q, q_len)[:, 0]
+        delta = _zero_tail_rows(delta_ref[0, 0], qi, block_q, q_len)[:, 0]
+    if kv_len % block_k != 0:
+        k = _zero_tail_rows(k, ki, block_k, kv_len)
+        v = _zero_tail_rows(v, ki, block_k, kv_len)
+
+    s = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block)
+    lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse)
+    p = jnp.exp(s - lse_safe[:, None])  # (bq, bk)
+    if q_len % block_q != 0:
+        p = _zero_tail_rows(p, qi, block_q, q_len)
+
+    # dv += p^T @ do
+    dv_scr[...] += lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dp = do @ v^T
+    dp = lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta[:, None]) * sm_scale
+    # dk += ds^T @ q
+    dk_scr[...] += lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *, sm_scale, block_q, block_k, q_len, kv_len, causal_block,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0, :, 0]
+    delta = delta_ref[0, 0, :, 0]
+    if q_len % block_q != 0:
+        lse = _zero_tail_rows(lse_ref[0, 0], qi, block_q, q_len)[:, 0]
+        delta = _zero_tail_rows(delta_ref[0, 0], qi, block_q, q_len)[:, 0]
+    if kv_len % block_k != 0:
+        k = _zero_tail_rows(k, ki, block_k, kv_len)
+        v = _zero_tail_rows(v, ki, block_k, kv_len)
+
+    s = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block)
+    lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse)
+    p = jnp.exp(s - lse_safe[:, None])
+    if q_len % block_q != 0:
+        p = _zero_tail_rows(p, qi, block_q, q_len)
+    dp = lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta[:, None]) * sm_scale
+    dq_scr[...] += lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, out, lse, do,
+    *, sm_scale, block_q, block_k, causal_block, interpret=False,
+):
+    batch, heads, q_len, dim = q.shape
+    kv_len = k.shape[2]
+    block_q = min(block_q, q_len)
+    block_k = min(block_k, kv_len)
+    nq = pl.cdiv(q_len, block_q)
+    nk = pl.cdiv(kv_len, block_k)
+
+    # delta = rowsum(do * o) — cheap, let XLA fuse it.
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    lse4 = lse[..., None]
+    delta4 = delta[..., None]
+
+    common = dict(
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        q_len=q_len,
+        kv_len=kv_len,
+        causal_block=causal_block,
+    )
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, **common),
+        grid=(batch, heads, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dim), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, dim), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, ki, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, ki, qi: (b, h, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, ki, qi: (b, h, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dim), jnp.float32),
+            pltpu.VMEM((block_k, dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse4, delta4)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **common),
+        grid=(batch, heads, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse4, delta4)
+
+    return dq, dk, dv
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+)
+def _flash_attention(
+    q, k, v, sm_scale, block_q, block_k, causal_block, interpret
+):
+    out, _ = _flash_forward(
+        q, k, v,
+        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        causal_block=causal_block, interpret=interpret,
+    )
+    return out
+
+
+def _flash_fwd_rule(q, k, v, sm_scale, block_q, block_k, causal_block, interpret):
+    out, lse = _flash_forward(
+        q, k, v,
+        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        causal_block=causal_block, interpret=interpret,
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(sm_scale, block_q, block_k, causal_block, interpret, res, g):
+    q, k, v, out, lse = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, out, lse, g,
+        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        causal_block=causal_block, interpret=interpret,
+    )
+    return dq, dk, dv
+
+
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    sm_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    causal_block: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over (B, H, L, D) tensors. Differentiable.
+
+    ``causal_block``: frame-causal mask granularity (see module docstring);
+    None = full bidirectional attention (the MMDiT case).
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_attention(
+        q, k, v, sm_scale, block_q, block_k, causal_block, interpret
+    )
+
+
+def flash_attention_with_lse(
+    q, k, v, *,
+    sm_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    causal_block: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Forward-only variant returning (out, lse) for ring-attention merging."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_forward(
+        q, k, v,
+        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        causal_block=causal_block, interpret=interpret,
+    )

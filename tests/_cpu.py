@@ -1,0 +1,5 @@
+"""Importable CPU-forcing prelude for ad-hoc scripts (mirrors conftest)."""
+import os
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")

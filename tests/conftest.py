@@ -1,0 +1,20 @@
+"""Test config: force an 8-virtual-device CPU platform so multi-chip
+sharding paths (mesh/pjit/shard_map) are exercised without TPU hardware.
+
+Note: the env var JAX_PLATFORMS alone is not enough in environments where a
+TPU plugin registers itself programmatically (it wins over the env var), so
+we also set the config explicitly before any backend is initialized.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,67 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opensora_tpu.ops.attention import xla_attention
+from opensora_tpu.ops.flash_attention import flash_attention, flash_attention_with_lse
+
+
+def _rand(shape, seed, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, dtype)
+
+
+@pytest.mark.parametrize("L,causal_block", [(256, None), (384, None), (320, 64)])
+def test_forward_matches_reference(L, causal_block):
+    B, H, D = 2, 2, 128
+    q, k, v = (_rand((B, H, L, D), s) for s in range(3))
+    out = flash_attention(
+        q, k, v, block_q=128, block_k=128, causal_block=causal_block, interpret=True
+    )
+    ref = xla_attention(q, k, v, causal_block=causal_block)
+    assert jnp.abs(out - ref).max() < 5e-3
+
+
+def test_lse_matches_reference():
+    B, H, L, D = 1, 2, 256, 128
+    q, k, v = (_rand((B, H, L, D), s) for s in range(3))
+    _, lse = flash_attention_with_lse(q, k, v, block_q=128, block_k=128, interpret=True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(D))
+    ref_lse = jax.scipy.special.logsumexp(s, axis=-1)
+    assert jnp.abs(lse - ref_lse).max() < 1e-3
+
+
+def test_backward_matches_reference():
+    B, H, L, D = 1, 2, 384, 128
+
+    q, k, v = (_rand((B, H, L, D), s) for s in range(3))
+
+    def loss_flash(q, k, v):
+        return (
+            flash_attention(q, k, v, block_q=128, block_k=128, interpret=True) ** 2
+        ).sum()
+
+    def loss_ref(q, k, v):
+        return (xla_attention(q, k, v) ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert jnp.abs(a - b).max() < 2e-2
+
+
+def test_tail_block_no_nan():
+    """Non-multiple lengths must not leak padded-garbage NaNs."""
+    B, H, L, D = 1, 1, 320, 128
+    q, k, v = (_rand((B, H, L, D), s) for s in range(3))
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    assert not bool(jnp.isnan(out).any())
+    g = jax.grad(
+        lambda a, b, c: (
+            flash_attention(a, b, c, block_q=128, block_k=128, interpret=True) ** 2
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for x in g:
+        assert not bool(jnp.isnan(x).any())
