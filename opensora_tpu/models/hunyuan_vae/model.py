@@ -104,6 +104,22 @@ class DiagonalGaussianDistribution:
         )
 
 
+def blend_tiles(a: jnp.ndarray, b: jnp.ndarray, extent: int, axis: int) -> jnp.ndarray:
+    """Linear overlap blend of adjacent tiles, vectorized over the blend axis
+    (reference autoencoder_kl_causal_3d.py:362-383 blend_v/h/t loops)."""
+    extent = min(a.shape[axis], b.shape[axis], extent)
+    if extent == 0:
+        return b
+    ramp_shape = [1] * b.ndim
+    ramp_shape[axis] = extent
+    ramp = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(ramp_shape)
+    a_tail = jax.lax.slice_in_dim(a, a.shape[axis] - extent, a.shape[axis], axis=axis)
+    b_head = jax.lax.slice_in_dim(b, 0, extent, axis=axis)
+    blended = (a_tail.astype(jnp.float32) * (1 - ramp) + b_head.astype(jnp.float32) * ramp).astype(b.dtype)
+    b_rest = jax.lax.slice_in_dim(b, extent, b.shape[axis], axis=axis)
+    return jnp.concatenate([blended, b_rest], axis=axis)
+
+
 def _down_block_strides(cfg: AutoEncoder3DConfig, i: int) -> Tuple[bool, Tuple[int, int, int]]:
     """Stride schedule from compression ratios (reference vae.py:66-101)."""
     n = len(cfg.block_out_channels)
@@ -263,20 +279,8 @@ class AutoencoderKLCausal3D(nn.Module):
         z_cl = self.post_quant_conv(z_cl)
         return self.decoder(z_cl, deterministic)
 
-    # ---- blending (reference :362-383), vectorized over the blend axis ----
-    @staticmethod
-    def _blend(a: jnp.ndarray, b: jnp.ndarray, extent: int, axis: int) -> jnp.ndarray:
-        extent = min(a.shape[axis], b.shape[axis], extent)
-        if extent == 0:
-            return b
-        ramp_shape = [1] * b.ndim
-        ramp_shape[axis] = extent
-        ramp = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(ramp_shape)
-        a_tail = jax.lax.slice_in_dim(a, a.shape[axis] - extent, a.shape[axis], axis=axis)
-        b_head = jax.lax.slice_in_dim(b, 0, extent, axis=axis)
-        blended = (a_tail.astype(jnp.float32) * (1 - ramp) + b_head.astype(jnp.float32) * ramp).astype(b.dtype)
-        b_rest = jax.lax.slice_in_dim(b, extent, b.shape[axis], axis=axis)
-        return jnp.concatenate([blended, b_rest], axis=axis)
+    # ---- blending (reference :362-383) ----
+    _blend = staticmethod(lambda a, b, extent, axis: blend_tiles(a, b, extent, axis))
 
     def spatial_tiled_encode(self, x_cl: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """Overlap-tile encode over H/W (reference :384-441). channels-last."""

@@ -86,6 +86,22 @@ def attention(
             k = rope_ops.apply_rope_interleaved(k, cos, sin)
         else:
             raise ValueError(f"unknown rope convention {rope_convention!r}")
+    if backend in ("ulysses", "ring") or (
+        isinstance(backend, str) and backend.startswith(("ulysses:", "ring:"))
+    ):
+        # sequence-parallel paths: tokens sharded over the 'sp' mesh axis
+        from opensora_tpu.ops.sp import ring_attention, ulysses_attention
+        from opensora_tpu.parallel.context import get_mesh
+
+        mesh = get_mesh()
+        assert mesh is not None, "SP attention requires a mesh (parallel.context.set_mesh)"
+        name, _, inner = backend.partition(":")
+        inner = inner or None
+        fn = ulysses_attention if name == "ulysses" else ring_attention
+        out = fn(q, k, v, mesh, backend=inner)
+        b, l, h, d = out.shape
+        return out.reshape(b, l, h * d)
+
     # (B, L, H, D) → (B, H, L, D) for the kernel
     qh = q.transpose(0, 2, 1, 3)
     kh = k.transpose(0, 2, 1, 3)

@@ -1,0 +1,217 @@
+"""Model assembly + end-to-end generation API.
+
+Behavioral reference: opensora/utils/sampling.py:511-726 (prepare_models,
+prepare_api/api_fn). TPU design: the model bundle couples a flax module with
+its params; the denoise loop is jitted once per (shape, steps, flags) key and
+cached, so repeated calls at one resolution bucket reuse the compiled
+executable.
+"""
+
+from __future__ import annotations
+
+import functools
+import random as pyrandom
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from opensora_tpu.registry import MODELS, build_module
+from opensora_tpu.utils import sampling as S
+from opensora_tpu.utils.inference import (
+    collect_references_batch,
+    prepare_inference_condition,
+)
+from opensora_tpu.utils.misc import to_jax_dtype
+
+
+@dataclass
+class ModelBundle:
+    """A flax module + its variables (params)."""
+
+    module: Any
+    variables: Any
+
+    def apply(self, *args, method=None, rngs=None, **kwargs):
+        return self.module.apply(self.variables, *args, method=method, rngs=rngs, **kwargs)
+
+
+def init_model_params(module, rng, *sample_args, **sample_kwargs):
+    return module.init(rng, *sample_args, **sample_kwargs)
+
+
+def prepare_models(
+    cfg,
+    dtype: str = "bf16",
+    rng: Optional[jax.Array] = None,
+    init_params: bool = True,
+):
+    """Build (model, ae, t5, clip, optional_models) from config dicts.
+
+    Mirrors reference prepare_models (sampling.py:511-559). Checkpoint
+    loading happens via utils/ckpt.py when ``from_pretrained`` is set;
+    otherwise params are randomly initialized (scaled/dev configs).
+    """
+    from opensora_tpu.utils.ckpt import load_model_bundle
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    r_model, r_ae, r_misc = jax.random.split(rng, 3)
+
+    model_module = build_module(dict(cfg.model), MODELS)
+    ae_module = build_module(dict(cfg.ae), MODELS)
+    t5 = build_module(dict(cfg.t5), MODELS)
+    clip = build_module(dict(cfg.clip), MODELS)
+
+    model = load_model_bundle(model_module, cfg.model, rng=r_model, init=init_params, kind="mmdit")
+    ae = load_model_bundle(ae_module, cfg.ae, rng=r_ae, init=init_params, kind="hunyuan_vae")
+
+    optional: Dict[str, Any] = {}
+    if cfg.get("img_flux") is not None:
+        img_flux_module = build_module(dict(cfg.img_flux), MODELS)
+        img_flux_ae_module = build_module(dict(cfg.img_flux_ae), MODELS)
+        optional["img_flux"] = load_model_bundle(
+            img_flux_module, cfg.img_flux, rng=r_misc, init=init_params, kind="mmdit"
+        )
+        optional["img_flux_ae"] = load_model_bundle(
+            img_flux_ae_module, cfg.img_flux_ae, rng=r_misc, init=init_params, kind="vae2d"
+        )
+    return model, ae, t5, clip, optional
+
+
+def prepare_api(model: ModelBundle, model_ae: ModelBundle, model_t5, model_clip, optional_models=None) -> Callable:
+    """Returns api_fn(opt, cond_type, seed, text, neg, ...) → video array
+    (B, C, T, H, W) in [-1, 1]. Mirrors reference prepare_api
+    (sampling.py:562-726)."""
+    optional_models = optional_models or {}
+    denoise_cache: Dict[Any, Callable] = {}
+
+    ae_encode = jax.jit(
+        lambda x, rng: model_ae.apply(
+            x, rngs={"gaussian": rng},
+            method=type(model_ae.module).encode,
+        )
+    )
+    ae_decode = jax.jit(
+        lambda z: model_ae.apply(z, method=type(model_ae.module).decode)
+    )
+
+    def _get_denoise_fn(denoiser, static_key, static_kwargs):
+        if static_key not in denoise_cache:
+            def run(variables, img, timesteps, model_kwargs, cond_kwargs):
+                model_fn = lambda **kw: model.module.apply(variables, **kw)
+                return denoiser.denoise(
+                    model_fn, img=img, timesteps=timesteps,
+                    **static_kwargs, **model_kwargs, **cond_kwargs,
+                )
+
+            denoise_cache[static_key] = jax.jit(run)
+        return denoise_cache[static_key]
+
+    def api_fn(
+        opt: S.SamplingOption,
+        cond_type: str = "t2v",
+        seed: Optional[int] = None,
+        sigma_min: float = 1e-5,
+        text=None,
+        neg=None,
+        patch_size: int = 2,
+        channel: int = 16,
+        **kwargs,
+    ):
+        dtype = jax.tree.leaves(model.variables)[0].dtype
+        compute_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+
+        if seed is None:
+            seed = opt.seed if opt.seed is not None else pyrandom.randint(0, 2**32 - 1)
+        rng = jax.random.PRNGKey(seed)
+        r_noise, r_ae = jax.random.split(rng)
+
+        if opt.is_causal_vae:
+            num_frames = 1 if opt.num_frames == 1 else (opt.num_frames - 1) // opt.temporal_reduction + 1
+        else:
+            num_frames = 1 if opt.num_frames == 1 else opt.num_frames // opt.temporal_reduction
+
+        z = S.get_noise(
+            r_noise, len(text), opt.height, opt.width, num_frames,
+            dtype=compute_dtype, patch_size=patch_size, channel=channel // patch_size**2,
+        )
+        denoiser = S.SamplingMethodDict[opt.method]
+
+        # reference conditioning
+        references = [None] * len(text)
+        if cond_type != "t2v" and "ref" in kwargs:
+            references = collect_references_batch(
+                kwargs.pop("ref"), cond_type,
+                lambda x: ae_encode(jnp.asarray(x, compute_dtype), r_ae),
+                (opt.height, opt.width), is_causal=opt.is_causal_vae,
+            )
+        elif cond_type != "t2v":
+            cond_type = "t2v"
+
+        timesteps = S.get_schedule(
+            opt.num_steps,
+            (z.shape[-1] * z.shape[-2]) // patch_size**2,
+            num_frames,
+            shift=opt.shift,
+            shift_alpha=opt.flow_shift,
+        )
+
+        text, additional = denoiser.prepare_guidance(
+            text=text, neg=neg, guidance_img=opt.guidance_img
+        )
+        inp = S.prepare(model_t5, model_clip, z, prompt=text, patch_size=patch_size)
+
+        img = inp.pop("img")
+        model_kwargs = {k: inp[k] for k in ("img_ids", "txt", "txt_ids", "y_vec")}
+
+        cond_kwargs = {}
+        if opt.method == S.SamplingMethod.I2V:
+            masks, masked_ref = prepare_inference_condition(
+                z, cond_type, ref_list=references if cond_type != "t2v" else None,
+                causal=opt.is_causal_vae,
+            )
+            cond_kwargs = {"masks": masks, "masked_ref": masked_ref}
+
+        static_kwargs = dict(
+            guidance=opt.guidance,
+            text_osci=opt.text_osci,
+            image_osci=opt.image_osci,
+            scale_temporal_osci=(opt.scale_temporal_osci and "i2v" in cond_type),
+            patch_size=patch_size,
+        )
+        if opt.method == S.SamplingMethod.I2V:
+            static_kwargs["guidance_img"] = additional.get("guidance_img") or 1.0
+
+        static_key = (
+            opt.method, img.shape, opt.num_steps, cond_type,
+            tuple(sorted(static_kwargs.items())),
+        )
+        run = _get_denoise_fn(denoiser, static_key, static_kwargs)
+        x = run(model.variables, img, timesteps, model_kwargs, cond_kwargs)
+
+        x = S.unpack(x.astype(jnp.float32), opt.height, opt.width, num_frames, patch_size=patch_size)
+
+        # pixel-space frame replacement for i2v (reference sampling.py:698-707)
+        if cond_type == "i2v_head" and references[0] is not None:
+            x = x.at[0, :, :1].set(references[0][0].astype(x.dtype))
+        elif cond_type == "i2v_tail" and references[0] is not None:
+            x = x.at[0, :, -1:].set(references[0][0].astype(x.dtype))
+        elif cond_type == "i2v_loop" and references[0] is not None:
+            x = x.at[0, :, :1].set(references[0][0].astype(x.dtype))
+            x = x.at[0, :, -1:].set(references[0][1].astype(x.dtype))
+
+        x = ae_decode(x.astype(compute_dtype))
+        x = x[:, :, : opt.num_frames]
+
+        if not opt.is_causal_vae:
+            pad_len = model_ae.module.config.time_compression_ratio - 1
+            if cond_type == "i2v_head":
+                x = x[:, :, pad_len:]
+            elif cond_type == "i2v_tail":
+                x = x[:, :, :-pad_len]
+            elif cond_type == "i2v_loop":
+                x = x[:, :, pad_len:-pad_len]
+        return x
+
+    return api_fn

@@ -1,0 +1,359 @@
+"""Checkpoint IO: torch-safetensors interop + orbax async training state.
+
+Behavioral reference: opensora/utils/ckpt.py — load_checkpoint (:84-140,
+safetensors / .pt / sharded dir / HF hub), CheckpointIO.save/load (:335-524,
+async sharded model+EMA+optimizer+sampler state with TensorNVMe). TPU-native
+replacements:
+- published torch checkpoints map into flax pytrees here (key mapping +
+  transpose + scan-stacking + RoPE-layout permutation);
+- training state is saved via orbax async checkpointing (tensorstore — a
+  native C++ IO engine — underneath), the analogue of the reference's
+  TensorNVMe async writer;
+- ``keep_n_latest`` GC mirrors rm_checkpoints (:143-169).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------------
+# torch safetensors → flax pytree (MMDiT / flux layout)
+# ----------------------------------------------------------------------
+
+
+def _load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint (.safetensors / .pt / sharded dir) as numpy."""
+    if os.path.isdir(path):
+        out = {}
+        for fn in sorted(os.listdir(path)):
+            if fn.endswith(".safetensors"):
+                out.update(_load_safetensors(os.path.join(path, fn)))
+        if out:
+            return out
+        raise FileNotFoundError(f"no safetensors shards in {path}")
+    if path.endswith(".safetensors"):
+        return _load_safetensors(path)
+    # .pt / .pth via torch (CPU build is available in the image)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _lin(sd, prefix):
+    """torch Linear → flax Dense: kernel = weight.T."""
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _stack(items):
+    return jax.tree.map(lambda *xs: np.stack(xs), *items)
+
+
+def convert_mmdit_state_dict(
+    sd: Dict[str, np.ndarray],
+    depth: int,
+    depth_single: int,
+    num_heads: int,
+    head_dim: int,
+    rope_convention: str = "split",
+    cond_embed: bool = False,
+    guidance_embed: bool = True,
+) -> Dict[str, Any]:
+    """Map the published flux/Open-Sora-v2 torch layout (reference
+    models/mmdit/model.py key names) into our scanned flax pytree.
+
+    Per-layer weights are stacked on a leading ``layers`` axis (nn.scan).
+    When ``rope_convention == 'split'`` the q and k output channels of every
+    qkv projection are permuted from the interleaved to the rotate-half
+    layout (see opensora_tpu/ops/rope.py) — attention outputs are unchanged.
+    """
+    from opensora_tpu.ops.rope import permute_qk_weight
+
+    def permute_qkv(lin: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if rope_convention != "split":
+            return lin
+        out = dict(lin)
+        k = out["kernel"]  # (in, 3*H*D) fused qkv
+        q_w, k_w, v_w = np.split(k, 3, axis=-1)
+        q_w = permute_qk_weight(q_w, num_heads, head_dim, out_axis=-1)
+        k_w = permute_qk_weight(k_w, num_heads, head_dim, out_axis=-1)
+        out["kernel"] = np.concatenate([q_w, k_w, v_w], axis=-1)
+        if "bias" in out:
+            qb, kb, vb = np.split(out["bias"], 3, axis=-1)
+            qb = permute_qk_weight(qb, num_heads, head_dim, out_axis=-1)
+            kb = permute_qk_weight(kb, num_heads, head_dim, out_axis=-1)
+            out["bias"] = np.concatenate([qb, kb, vb], axis=-1)
+        return out
+
+    def mlp_embedder(prefix):
+        return {
+            "in_layer": _lin(sd, f"{prefix}.in_layer"),
+            "out_layer": _lin(sd, f"{prefix}.out_layer"),
+        }
+
+    def qknorm(prefix):
+        return {
+            "query_norm": {"scale": sd[f"{prefix}.query_norm.scale"]},
+            "key_norm": {"scale": sd[f"{prefix}.key_norm.scale"]},
+        }
+
+    def double_block(i):
+        p = f"double_blocks.{i}"
+        return {
+            "img_mod": {"lin": _lin(sd, f"{p}.img_mod.lin")},
+            "txt_mod": {"lin": _lin(sd, f"{p}.txt_mod.lin")},
+            "img_attn": {
+                "qkv": permute_qkv(_lin(sd, f"{p}.img_attn.qkv")),
+                "norm": qknorm(f"{p}.img_attn.norm"),
+                "proj": _lin(sd, f"{p}.img_attn.proj"),
+            },
+            "txt_attn": {
+                "qkv": permute_qkv(_lin(sd, f"{p}.txt_attn.qkv")),
+                "norm": qknorm(f"{p}.txt_attn.norm"),
+                "proj": _lin(sd, f"{p}.txt_attn.proj"),
+            },
+            "img_mlp": {"0": _lin(sd, f"{p}.img_mlp.0"), "2": _lin(sd, f"{p}.img_mlp.2")},
+            "txt_mlp": {"0": _lin(sd, f"{p}.txt_mlp.0"), "2": _lin(sd, f"{p}.txt_mlp.2")},
+        }
+
+    def single_block(i):
+        p = f"single_blocks.{i}"
+        lin1 = _lin(sd, f"{p}.linear1")
+        if rope_convention == "split":
+            k = lin1["kernel"]
+            hidden3 = 3 * num_heads * head_dim
+            qkv_w, mlp_w = k[:, :hidden3], k[:, hidden3:]
+            q_w, k_w, v_w = np.split(qkv_w, 3, axis=-1)
+            q_w = permute_qk_weight(q_w, num_heads, head_dim, out_axis=-1)
+            k_w = permute_qk_weight(k_w, num_heads, head_dim, out_axis=-1)
+            lin1["kernel"] = np.concatenate([q_w, k_w, v_w, mlp_w], axis=-1)
+            if "bias" in lin1:
+                b = lin1["bias"]
+                qb, kb, vb = np.split(b[:hidden3], 3)
+                qb = permute_qk_weight(qb, num_heads, head_dim, out_axis=-1)
+                kb = permute_qk_weight(kb, num_heads, head_dim, out_axis=-1)
+                lin1["bias"] = np.concatenate([qb, kb, vb, b[hidden3:]])
+        return {
+            "linear1": lin1,
+            "linear2": _lin(sd, f"{p}.linear2"),
+            "norm": qknorm(f"{p}.norm"),
+            "modulation": {"lin": _lin(sd, f"{p}.modulation.lin")},
+        }
+
+    params: Dict[str, Any] = {
+        "img_in": _lin(sd, "img_in"),
+        "txt_in": _lin(sd, "txt_in"),
+        "time_in": mlp_embedder("time_in"),
+        "vector_in": mlp_embedder("vector_in"),
+        "double_blocks": _stack([double_block(i) for i in range(depth)]),
+        "single_blocks": _stack([single_block(i) for i in range(depth_single)]),
+        "final_layer": {
+            "linear": _lin(sd, "final_layer.linear"),
+            "adaLN_modulation": _lin(sd, "final_layer.adaLN_modulation.1"),
+        },
+    }
+    if guidance_embed and "guidance_in.in_layer.weight" in sd:
+        params["guidance_in"] = mlp_embedder("guidance_in")
+    if cond_embed and "cond_in.weight" in sd:
+        params["cond_in"] = _lin(sd, "cond_in")
+    return params
+
+
+def convert_hunyuan_vae_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map the HunyuanVideo VAE torch layout into our flax pytree.
+
+    torch Conv3d weight (O, I, kT, kH, kW) → flax Conv kernel (kT, kH, kW, I, O).
+    Attention to_out.0 → to_out. GroupNorm weight/bias → scale/bias.
+    """
+    out: Dict[str, Any] = {}
+
+    def put(tree, keys, val):
+        node = tree
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = val
+
+    for key, val in sd.items():
+        parts = key.split(".")
+        # drop torch container indices: resnets.0 → resnets_0, etc.
+        norm_parts = []
+        i = 0
+        while i < len(parts):
+            p = parts[i]
+            if i + 1 < len(parts) and parts[i + 1].isdigit():
+                norm_parts.append(f"{p}_{parts[i + 1]}")
+                i += 2
+            else:
+                norm_parts.append(p)
+                i += 1
+        leaf = norm_parts[-1]
+        path = norm_parts[:-1]
+
+        # diffusers attention naming: to_out_0 → to_out
+        path = [("to_out" if p == "to_out_0" else p) for p in path]
+
+        if leaf == "weight":
+            if val.ndim == 5:  # conv3d
+                kernel = np.transpose(val, (2, 3, 4, 1, 0))
+                # our CausalConv3d nests the flax Conv under "conv"
+                if path[-1] not in ("quant_conv", "post_quant_conv"):
+                    if path[-1] != "conv":
+                        path = path + ["conv"]
+                put(out, path + ["kernel"], kernel)
+            elif val.ndim == 2:  # linear
+                put(out, path + ["kernel"], np.ascontiguousarray(val.T))
+            else:  # norm scale
+                put(out, path + ["scale"], val)
+        elif leaf == "bias":
+            put(out, path + ["bias"], val)
+        else:
+            put(out, path + [leaf], val)
+    return out
+
+
+def load_checkpoint(
+    module,
+    from_pretrained: str,
+    kind: str = "mmdit",
+    dtype: Optional[jnp.dtype] = None,
+) -> Dict[str, Any]:
+    """Load torch weights into a flax variables dict for ``module``."""
+    sd = load_torch_state_dict(from_pretrained)
+    if kind == "mmdit":
+        cfg = module.config
+        params = convert_mmdit_state_dict(
+            sd,
+            depth=cfg.depth,
+            depth_single=cfg.depth_single_blocks,
+            num_heads=cfg.num_heads,
+            head_dim=cfg.hidden_size // cfg.num_heads,
+            rope_convention=cfg.rope_convention,
+            cond_embed=cfg.cond_embed,
+            guidance_embed=cfg.guidance_embed,
+        )
+    elif kind == "hunyuan_vae":
+        params = convert_hunyuan_vae_state_dict(sd)
+    else:
+        raise ValueError(f"unknown checkpoint kind {kind!r}")
+    if dtype is not None:
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    return {"params": params}
+
+
+def load_model_bundle(module, model_cfg, rng, init: bool = True, kind: str = "mmdit"):
+    """Build a ModelBundle: pretrained weights if configured, else random
+    init is deferred to the caller (who knows the sample shapes)."""
+    from opensora_tpu.utils.api import ModelBundle
+
+    pretrained = None
+    if isinstance(model_cfg, dict):
+        pretrained = model_cfg.get("from_pretrained")
+    if pretrained:
+        variables = load_checkpoint(module, pretrained, kind=kind)
+        return ModelBundle(module, variables)
+    return ModelBundle(module, None)
+
+
+# ----------------------------------------------------------------------
+# training-state checkpointing (orbax)
+# ----------------------------------------------------------------------
+
+
+class CheckpointIO:
+    """Async sharded train-state IO (reference utils/ckpt.py:335-524).
+
+    Layout per step: <exp_dir>/epoch{e}-global_step{s}/
+      state/       orbax sharded pytree (params, opt_state, ema, step)
+      running_states.json   epoch/step counters
+      sampler_state.json    stateful-sampler resume point
+    """
+
+    def __init__(self, n_write_entries: int = 32):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def save(
+        self,
+        exp_dir: str,
+        state,
+        epoch: int,
+        step: int,
+        global_step: int,
+        sampler_state: Optional[dict] = None,
+        keep_n_latest: int = -1,
+        async_io: bool = True,
+    ) -> str:
+        d = os.path.join(exp_dir, f"epoch{epoch}-global_step{global_step}")
+        os.makedirs(d, exist_ok=True)
+        self._ckpt.save(os.path.join(d, "state"), state, force=True)
+        if not async_io:
+            self._ckpt.wait_until_finished()
+        if jax.process_index() == 0:
+            with open(os.path.join(d, "running_states.json"), "w") as f:
+                json.dump(
+                    {"epoch": epoch, "step": step, "global_step": global_step}, f
+                )
+            if sampler_state is not None:
+                with open(os.path.join(d, "sampler_state.json"), "w") as f:
+                    json.dump(sampler_state, f)
+        if keep_n_latest > 0:
+            self.rm_checkpoints(exp_dir, keep_n_latest)
+        return d
+
+    def wait(self):
+        self._ckpt.wait_until_finished()
+
+    def load(self, path: str, state_template):
+        state = self._ckpt.restore(os.path.join(path, "state"), state_template)
+        running = {"epoch": 0, "step": 0, "global_step": 0}
+        rs = os.path.join(path, "running_states.json")
+        if os.path.exists(rs):
+            with open(rs) as f:
+                running = json.load(f)
+        sampler_state = None
+        ss = os.path.join(path, "sampler_state.json")
+        if os.path.exists(ss):
+            with open(ss) as f:
+                sampler_state = json.load(f)
+        return state, running, sampler_state
+
+    @staticmethod
+    def rm_checkpoints(exp_dir: str, keep_n_latest: int):
+        """GC old checkpoints (reference ckpt.py:143-169)."""
+        if jax.process_index() != 0:
+            return
+        pat = re.compile(r"epoch(\d+)-global_step(\d+)")
+        entries = []
+        for name in os.listdir(exp_dir):
+            m = pat.fullmatch(name)
+            if m:
+                entries.append((int(m.group(2)), name))
+        entries.sort(reverse=True)
+        for _, name in entries[keep_n_latest:]:
+            shutil.rmtree(os.path.join(exp_dir, name), ignore_errors=True)
