@@ -75,6 +75,7 @@ class HFEmbedder:
         clip_config: Optional[CLIPTextConfig] = None,
         params=None,
         rng_seed: int = 0,
+        _tiny: bool = False,
         **_,
     ):
         self.is_clip = "openai" in from_pretrained or "clip" in from_pretrained.lower()
@@ -82,11 +83,15 @@ class HFEmbedder:
         self.from_pretrained = from_pretrained
 
         if self.is_clip:
-            self.config = clip_config or clip_l_config()
+            from opensora_tpu.models.text.clip import clip_small_test_config
+
+            self.config = clip_config or (clip_small_test_config() if _tiny else clip_l_config())
             self.module = CLIPTextModel(self.config)
             eos = self.config.eos_token_id
         else:
-            self.config = t5_config or t5_xxl_config()
+            from opensora_tpu.models.text.t5 import t5_small_test_config
+
+            self.config = t5_config or (t5_small_test_config() if _tiny else t5_xxl_config())
             self.module = T5Encoder(self.config)
             eos = 1
 

@@ -63,8 +63,36 @@ def prepare_models(
     t5 = build_module(dict(cfg.t5), MODELS)
     clip = build_module(dict(cfg.clip), MODELS)
 
+    ae_kind = {"dc_ae": "dc_ae", "autoencoder_2d": "vae2d"}.get(
+        cfg.ae.get("type"), "hunyuan_vae"
+    )
     model = load_model_bundle(model_module, cfg.model, rng=r_model, init=init_params, kind="mmdit")
-    ae = load_model_bundle(ae_module, cfg.ae, rng=r_ae, init=init_params, kind="hunyuan_vae")
+    ae = load_model_bundle(ae_module, cfg.ae, rng=r_ae, init=init_params, kind=ae_kind)
+
+    if model.variables is None and init_params:
+        mcfg = model_module.config
+        B, L, Lt = 1, 8, 4
+        model.variables = model_module.init(
+            r_model,
+            jnp.zeros((B, L, mcfg.in_channels), jnp.float32),
+            jnp.zeros((B, L, 3)),
+            jnp.zeros((B, Lt, mcfg.context_in_dim), jnp.float32),
+            jnp.zeros((B, Lt, 3)),
+            jnp.zeros((B,)),
+            jnp.zeros((B, mcfg.vec_in_dim), jnp.float32),
+            jnp.zeros((B, L, mcfg.in_channels + mcfg.patch_size**2), jnp.float32)
+            if mcfg.cond_embed else None,
+            jnp.zeros((B,)) if mcfg.guidance_embed else None,
+        )
+    if ae.variables is None and init_params:
+        acfg = ae_module.config
+        if ae_kind == "vae2d":
+            x0 = jnp.zeros((1, acfg.in_channels, 32, 32), jnp.float32)
+        else:
+            tcr = getattr(acfg, "time_compression_ratio", 4)
+            scr = getattr(acfg, "spatial_compression_ratio", 8)
+            x0 = jnp.zeros((1, acfg.in_channels, tcr + 1, scr * 2, scr * 2), jnp.float32)
+        ae.variables = ae_module.init({"params": r_ae, "gaussian": r_ae}, x0)
 
     optional: Dict[str, Any] = {}
     if cfg.get("img_flux") is not None:

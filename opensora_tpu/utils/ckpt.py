@@ -224,6 +224,8 @@ def convert_hunyuan_vae_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
                     if path[-1] != "conv":
                         path = path + ["conv"]
                 put(out, path + ["kernel"], kernel)
+            elif val.ndim == 4:  # conv2d
+                put(out, path + ["kernel"], np.transpose(val, (2, 3, 1, 0)))
             elif val.ndim == 2:  # linear
                 put(out, path + ["kernel"], np.ascontiguousarray(val.T))
             else:  # norm scale
@@ -255,7 +257,9 @@ def load_checkpoint(
             cond_embed=cfg.cond_embed,
             guidance_embed=cfg.guidance_embed,
         )
-    elif kind == "hunyuan_vae":
+    elif kind in ("hunyuan_vae", "dc_ae", "vae2d"):
+        # generic torch conv/linear/norm mapping; module trees mirror the
+        # torch layouts so the name normalization covers all three AEs
         params = convert_hunyuan_vae_state_dict(sd)
     else:
         raise ValueError(f"unknown checkpoint kind {kind!r}")

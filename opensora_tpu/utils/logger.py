@@ -34,6 +34,7 @@ def create_logger(exp_dir: str | None = None, name: str = "opensora_tpu") -> log
             fh = logging.FileHandler(os.path.join(exp_dir, "log.txt"))
             fh.setFormatter(fmt)
             logger.addHandler(fh)
+        logger.propagate = False
     else:
         logger.addHandler(logging.NullHandler())
         logger.propagate = False

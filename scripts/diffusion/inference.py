@@ -1,0 +1,107 @@
+"""Text/image-to-video generation CLI.
+
+Behavioral reference: scripts/diffusion/inference.py:42-238 — config parse,
+model assembly, prompt dataset, per-batch api_fn calls (t2v / i2v_* / v2v_* /
+t2i2v), saving mp4/png outputs.
+
+Usage:
+  python scripts/diffusion/inference.py configs/diffusion/inference/tiny_256px.py \
+      --prompt "a cat playing piano" [--sampling_option.num_steps 20] ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from opensora_tpu.datasets.dataloader import prepare_dataloader
+    from opensora_tpu.registry import DATASETS, build_module
+    from opensora_tpu.utils.api import prepare_api, prepare_models
+    from opensora_tpu.utils.config import parse_configs
+    from opensora_tpu.utils.inference import process_and_save
+    from opensora_tpu.utils.logger import create_logger
+    from opensora_tpu.utils.misc import Timers
+    from opensora_tpu.utils.sampling import (
+        SamplingOption,
+        sanitize_sampling_option,
+    )
+    import opensora_tpu.models.mmdit  # noqa: F401 (register)
+    import opensora_tpu.models.hunyuan_vae  # noqa: F401
+    import opensora_tpu.models.dc_ae  # noqa: F401
+    import opensora_tpu.models.vae2d  # noqa: F401
+    import opensora_tpu.models.text.conditioner  # noqa: F401
+    import opensora_tpu.datasets.datasets  # noqa: F401
+
+    # allow --prompt shortcut before generic parsing
+    argv = sys.argv[1:]
+    prompt = None
+    if "--prompt" in argv:
+        i = argv.index("--prompt")
+        prompt = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+
+    cfg = parse_configs(argv)
+    logger = create_logger()
+    logger.info("devices: %s", jax.devices())
+
+    # dataset: inline prompt or csv/parquet prompt file
+    if prompt is not None:
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False)
+        tmp.write("text\n" + prompt.replace('"', "'") + "\n")
+        tmp.close()
+        cfg.dataset = dict(cfg.get("dataset", {"type": "text"}))
+        cfg.dataset["data_path"] = tmp.name
+
+    dataset = build_module(dict(cfg.dataset), DATASETS)
+    dataloader, _ = prepare_dataloader(
+        dataset, batch_size=cfg.get("batch_size", 1), shuffle=False,
+        num_workers=1,
+    )
+
+    model, model_ae, model_t5, model_clip, optional = prepare_models(
+        cfg, dtype=cfg.get("dtype", "bf16")
+    )
+    api_fn = prepare_api(model, model_ae, model_t5, model_clip, optional)
+
+    opt = sanitize_sampling_option(SamplingOption(**cfg.get("sampling_option", {})))
+    cond_type = cfg.get("cond_type", "t2v")
+    save_dir = cfg.get("save_dir", "samples")
+    fps_save = cfg.get("fps_save", 16)
+    timers = Timers()
+
+    sample_idx = 0
+    for batch in dataloader:
+        texts = batch["text"]
+        kwargs = {}
+        if "ref" in batch:
+            kwargs["ref"] = batch["ref"]
+        with timers("generate"):
+            x = api_fn(
+                opt,
+                cond_type=cond_type,
+                text=texts,
+                neg=batch.get("neg"),
+                patch_size=cfg.get("patch_size", 2),
+                channel=cfg["model"]["in_channels"],
+                **kwargs,
+            )
+        x = np.asarray(jax.device_get(x))
+        ids = list(range(sample_idx, sample_idx + len(texts)))
+        paths = process_and_save(x, ids, save_dir, fps=fps_save, prompts=texts)
+        logger.info("saved %s", paths)
+        sample_idx += len(texts)
+    logger.info("done: %s", timers.to_dict())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""MMDiT diffusion training CLI.
+
+Behavioral reference: scripts/diffusion/train.py:83-649 — config parse,
+bucketized dataloader, model/AE/text builds, rectified-flow loss with
+conditioning dropout + visual conditions, EMA, checkpoint/resume,
+logging/timers.
+
+TPU design: one jitted train step over the full mesh per bucket shape
+(TP+FSDP+SP shardings in parallel/sharding.py); VAE/text encoding runs as
+separate jitted calls per bucket shape.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from opensora_tpu.datasets.dataloader import prepare_dataloader
+    from opensora_tpu.parallel.context import set_mesh
+    from opensora_tpu.parallel.mesh import MeshConfig, create_mesh
+    from opensora_tpu.parallel.sharding import make_shardings, mmdit_param_specs
+    from opensora_tpu.registry import DATASETS, MODELS, build_module
+    from opensora_tpu.training.diffusion import (
+        TrainState,
+        compute_shift_alpha,
+        jit_train_step,
+        make_train_step,
+        shard_state,
+    )
+    from opensora_tpu.utils.ckpt import CheckpointIO
+    from opensora_tpu.utils.config import (
+        create_experiment_workspace,
+        parse_configs,
+    )
+    from opensora_tpu.utils.logger import create_logger
+    from opensora_tpu.utils.misc import Timers, count_params, format_numel, log_device_memory
+    from opensora_tpu.utils.optimizer import create_optimizer
+    from opensora_tpu.utils.sampling import build_img_ids, pack, prepare
+    from opensora_tpu.utils.train import build_visual_condition, choose_mask_conditions
+    import opensora_tpu.models.mmdit  # noqa: F401
+    import opensora_tpu.models.hunyuan_vae  # noqa: F401
+    import opensora_tpu.models.dc_ae  # noqa: F401
+    import opensora_tpu.models.text.conditioner  # noqa: F401
+    import opensora_tpu.datasets.datasets  # noqa: F401
+
+    cfg = parse_configs()
+    exp_dir = create_experiment_workspace(cfg)
+    logger = create_logger(exp_dir)
+    logger.info("experiment dir: %s", exp_dir)
+
+    mesh = create_mesh(MeshConfig(**cfg.get("mesh", {})))
+    set_mesh(mesh)
+    logger.info("mesh: %s", mesh)
+
+    # ---- data ----
+    dataset = build_module(dict(cfg.dataset), DATASETS)
+    dataloader, sampler = prepare_dataloader(
+        dataset,
+        bucket_config=cfg.get("bucket_config"),
+        batch_size=cfg.get("batch_size"),
+        num_workers=cfg.get("num_workers", 2),
+        seed=cfg.get("seed", 42),
+    )
+
+    # ---- models ----
+    model = build_module(dict(cfg.model), MODELS)
+    model_ae = build_module(dict(cfg.ae), MODELS)
+    model_t5 = build_module(dict(cfg.t5), MODELS)
+    model_clip = build_module(dict(cfg.clip), MODELS)
+
+    rng = jax.random.PRNGKey(cfg.get("seed", 42))
+    patch_size = cfg.get("patch_size", 2)
+    mcfg = model.config
+
+    # init params on a representative tiny shape (shape-polymorphic weights)
+    B0, L0, Lt0 = 1, 16, 8
+    variables = model.init(
+        rng,
+        jnp.zeros((B0, L0, mcfg.in_channels), jnp.float32),
+        jnp.zeros((B0, L0, 3)),
+        jnp.zeros((B0, Lt0, mcfg.context_in_dim), jnp.float32),
+        jnp.zeros((B0, Lt0, 3)),
+        jnp.zeros((B0,)),
+        jnp.zeros((B0, mcfg.vec_in_dim), jnp.float32),
+        jnp.zeros((B0, L0, mcfg.in_channels + patch_size**2), jnp.float32)
+        if mcfg.cond_embed else None,
+        jnp.zeros((B0,)) if mcfg.guidance_embed else None,
+    )
+    params = variables["params"]
+    logger.info("MMDiT params: %s", format_numel(count_params(params)))
+    params = jax.device_put(
+        params, make_shardings(mesh, mmdit_param_specs(params, fsdp=True))
+    )
+
+    ae_vars = None
+    if cfg.get("cached_video", False):
+        ae_encode = None
+    else:
+        x0s = jnp.zeros((1, 3, 5, 64, 64), jnp.float32)
+        ae_vars = model_ae.init({"params": rng, "gaussian": rng}, x0s)
+        ae_encode = jax.jit(
+            lambda x, r: model_ae.apply(
+                ae_vars, x, rngs={"gaussian": r}, method=type(model_ae).encode
+            )
+        )
+
+    # ---- optimizer / state ----
+    tx = create_optimizer(
+        lr=cfg.get("lr", 1e-4),
+        weight_decay=cfg.get("weight_decay", 0.0),
+        eps=cfg.get("adam_eps", 1e-8),
+        warmup_steps=cfg.get("warmup_steps"),
+        grad_clip=cfg.get("grad_clip"),
+        accumulation_steps=cfg.get("accumulation_steps", 1),
+    )
+    state = TrainState.create(params, tx, ema=cfg.get("ema_decay", 0.9999) is not None)
+    state, _ = shard_state(mesh, state, fsdp=True)
+    log_device_memory("post-state", logger)
+
+    train_step = make_train_step(
+        model, tx,
+        ema_decay=cfg.get("ema_decay", 0.9999),
+        text_dropout_prob=cfg.get("dropout_ratio", {}).get("t5", 0.0)
+        if cfg.get("dropout_ratio") else 0.0,
+        use_masked_loss=cfg.get("condition_config") is not None,
+        patch_size=patch_size,
+    )
+    step_fn = jit_train_step(train_step, mesh, state, fsdp=True)
+
+    ckpt_io = CheckpointIO()
+    start_epoch = start_step = global_step = 0
+    if cfg.get("load"):
+        state, running, sampler_state = ckpt_io.load(cfg.load, state)
+        start_epoch, start_step = running["epoch"], running["step"]
+        global_step = running["global_step"]
+        if sampler_state and hasattr(sampler, "load_state_dict"):
+            sampler.load_state_dict(sampler_state)
+        logger.info("resumed at epoch %d step %d", start_epoch, start_step)
+
+    # null embeddings for CFG dropout
+    null_txt = np.asarray(model_t5([""]))
+    null_vec = np.asarray(model_clip([""]))
+
+    timers = Timers()
+    seq_align = cfg.get("seq_align", 1)
+    condition_config = cfg.get("condition_config")
+    host_rng = np.random.default_rng(cfg.get("seed", 42))
+
+    num_steps_per_epoch = len(dataloader)
+    total_epochs = cfg.get("epochs", 1)
+    log_every = cfg.get("log_every", 1)
+    ckpt_every = cfg.get("ckpt_every", 1000)
+
+    for epoch in range(start_epoch, total_epochs):
+        sampler.set_epoch(epoch)
+        for step, batch in enumerate(dataloader, start=start_step):
+            with timers("encode_video"):
+                x = jnp.asarray(batch["video"])
+                rng, r_ae = jax.random.split(rng)
+                if condition_config is not None:
+                    latent = ae_encode(x, r_ae)
+                    lt = latent.shape[2]
+                    mask_conds = choose_mask_conditions(
+                        dict(condition_config), x.shape[0], lt,
+                        model_ae.config.time_compression_ratio, host_rng,
+                    )
+                    enc1 = lambda xi: ae_encode(xi, r_ae)
+                    masks, cond = build_visual_condition(
+                        x, mask_conds, enc1, latent,
+                        model_ae.config.time_compression_ratio,
+                    )
+                    cond_packed = pack(cond, patch_size=patch_size)
+                    x0_lat = latent
+                else:
+                    x0_lat = ae_encode(x, r_ae)
+                    masks = cond_packed = None
+
+            with timers("encode_text"):
+                inp = prepare(
+                    model_t5, model_clip, x0_lat, prompt=batch["text"],
+                    seq_align=seq_align, patch_size=patch_size,
+                )
+
+            lt, lh, lw = x0_lat.shape[2], x0_lat.shape[3], x0_lat.shape[4]
+            shift_alpha = compute_shift_alpha(lh, lw, lt)
+            bsz = x0_lat.shape[0]
+            tb = {
+                "x0": inp["img"],
+                "img_ids": inp["img_ids"],
+                "txt": inp["txt"],
+                "txt_ids": inp["txt_ids"],
+                "y_vec": inp["y_vec"],
+                "cond": cond_packed,
+                "masks": masks,
+                "guidance": jnp.full((bsz,), cfg.get("guidance", 4.0), jnp.float32),
+                "shift_alpha": jnp.full((bsz,), shift_alpha, jnp.float32),
+                "null_txt": jnp.broadcast_to(
+                    jnp.asarray(null_txt)[:, : inp["txt"].shape[1]], inp["txt"].shape
+                ) if null_txt.shape[1] >= inp["txt"].shape[1] else jnp.zeros_like(inp["txt"]),
+                "null_vec": jnp.broadcast_to(jnp.asarray(null_vec), inp["y_vec"].shape),
+            }
+
+            with timers("step"):
+                rng, r_step = jax.random.split(rng)
+                state, metrics = step_fn(state, tb, r_step)
+            global_step += 1
+
+            if global_step % log_every == 0:
+                loss = float(metrics["loss"])
+                logger.info(
+                    "epoch %d step %d/%d loss %.4f grad_norm %.3f %s",
+                    epoch, step, num_steps_per_epoch, loss,
+                    float(metrics["grad_norm"]), timers.to_dict(),
+                )
+            if global_step % ckpt_every == 0:
+                with timers("checkpoint"):
+                    d = ckpt_io.save(
+                        exp_dir, state, epoch, step, global_step,
+                        sampler_state=sampler.state_dict(step)
+                        if hasattr(sampler, "state_dict") else None,
+                        keep_n_latest=cfg.get("keep_n_latest", -1),
+                    )
+                logger.info("checkpoint saved to %s", d)
+        start_step = 0
+
+    ckpt_io.save(exp_dir, state, total_epochs - 1, num_steps_per_epoch, global_step)
+    ckpt_io.wait()
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()
