@@ -50,7 +50,7 @@ def main():
     # 256px, 33 pixel frames → 9 latent frames, latent 32×32, patch 2
     latent_t, latent_h, latent_w, txt_len = 9, 32, 32, 512
     B = 3  # CFG triple
-    depth, depth_single = 4, 8
+    depth, depth_single = 2, 4
 
     cfg = MMDiTConfig(
         in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
@@ -73,20 +73,37 @@ def main():
     cond = jnp.zeros((B, L, 68), dtype)
     guidance = jnp.full((B,), 4.0, dtype)
 
-    variables = model.init(
-        jax.random.PRNGKey(0), img, img_ids, txt, txt_ids, t, y_vec, cond, guidance
-    )
-    args = (img, img_ids, txt, txt_ids, t, y_vec, cond, guidance)
+    import sys
 
-    fwd = jax.jit(lambda *a: model.apply(variables, *a))
-    fwd(*args)[0].block_until_ready()  # compile
-    # measure
-    n_iter = 10
+    args = (img, img_ids, txt, txt_ids, t, y_vec, cond, guidance)
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwd(*args)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+    # zero-init via eval_shape: throughput does not depend on weight values,
+    # and materializing ~1 GB of RNG on-device is wasted bench time
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *args)
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    print(f"[bench] init {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    t0 = time.perf_counter()
+    _ = jax.device_get(jnp.sum(fwd(variables, *args).astype(jnp.float32)))  # compile+sync
+    print(f"[bench] compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    def timed(n_iter):
+        """Wall time of n_iter forwards + one host fetch. block_until_ready
+        is a no-op on tunneled platforms, so sync via a scalar device_get;
+        the differential below cancels the constant fetch latency."""
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iter):
+            out = fwd(variables, *args)
+        jax.device_get(jnp.sum(out.astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    print(f"[bench] warm {timed(1):.2f}s", file=sys.stderr)
+    n1, n2 = 2, 22
+    t1, t2 = timed(n1), timed(n2)
+    dt = (t2 - t1) / (n2 - n1)
+    print(f"[bench] t({n1})={t1:.3f}s t({n2})={t2:.3f}s -> per-step {dt*1e3:.1f}ms", file=sys.stderr)
 
     flops_measured = B * block_flops(3072, 4.0, n_tokens, depth, depth_single)
     flops_full = B * block_flops(3072, 4.0, n_tokens, 19, 38)

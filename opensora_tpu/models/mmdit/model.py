@@ -56,6 +56,10 @@ class MMDiTConfig:
     rope_convention: str = "split"  # "split" (fast) or "interleaved" (parity)
     attn_backend: Optional[str] = None  # None = auto (pallas on TPU)
     remat: bool = False  # checkpoint each scanned block
+    # remat policy ≙ reference grad_ckpt_settings + activation CPU offload
+    # (opensora/acceleration/checkpoint.py): "full" recomputes everything,
+    # "dots" saves matmul outputs, "offload" parks checkpoints in host RAM
+    remat_policy: str = "full"
     dtype: str = "bf16"
     param_dtype: str = "fp32"
     from_pretrained: Optional[str] = None
@@ -118,14 +122,17 @@ class MMDiTModel(nn.Module):
         double_cls = _ScannedDoubleStreamBlock
         single_cls = _ScannedSingleStreamBlock
         if cfg.remat:
-            double_cls = nn.remat(
-                double_cls, prevent_cse=False,
-                policy=jax.checkpoint_policies.nothing_saveable,
-            )
-            single_cls = nn.remat(
-                single_cls, prevent_cse=False,
-                policy=jax.checkpoint_policies.nothing_saveable,
-            )
+            policy = {
+                "full": jax.checkpoint_policies.nothing_saveable,
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "offload": jax.checkpoint_policies.save_and_offload_only_these_names(
+                    names_which_can_be_saved=[],
+                    names_which_can_be_offloaded=[],
+                    offload_src="device", offload_dst="pinned_host",
+                ),
+            }.get(cfg.remat_policy, jax.checkpoint_policies.nothing_saveable)
+            double_cls = nn.remat(double_cls, prevent_cse=False, policy=policy)
+            single_cls = nn.remat(single_cls, prevent_cse=False, policy=policy)
 
         # scan over stacked blocks: carry = streams, broadcast = (vec, pe)
         self.double_blocks = nn.scan(

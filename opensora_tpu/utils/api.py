@@ -41,6 +41,25 @@ def init_model_params(module, rng, *sample_args, **sample_kwargs):
     return module.init(rng, *sample_args, **sample_kwargs)
 
 
+def offload_to_host(bundle: "ModelBundle") -> None:
+    """Park a model's params in host RAM (the t2i2v offload dance,
+    reference scripts/diffusion/inference.py:161-214 CPU⇄GPU swaps)."""
+    if bundle.variables is None:
+        return
+    try:
+        host = jax.devices("cpu")[0]
+    except RuntimeError:
+        return
+    bundle.variables = jax.device_put(bundle.variables, host)
+
+
+def load_to_device(bundle: "ModelBundle", device=None) -> None:
+    if bundle.variables is None:
+        return
+    device = device or jax.devices()[0]
+    bundle.variables = jax.device_put(bundle.variables, device)
+
+
 def prepare_models(
     cfg,
     dtype: str = "bf16",
@@ -107,11 +126,33 @@ def prepare_models(
     return model, ae, t5, clip, optional
 
 
-def prepare_api(model: ModelBundle, model_ae: ModelBundle, model_t5, model_clip, optional_models=None) -> Callable:
+def prepare_api(
+    model: ModelBundle,
+    model_ae: ModelBundle,
+    model_t5,
+    model_clip,
+    optional_models=None,
+    mesh=None,
+) -> Callable:
     """Returns api_fn(opt, cond_type, seed, text, neg, ...) → video array
     (B, C, T, H, W) in [-1, 1]. Mirrors reference prepare_api
-    (sampling.py:562-726)."""
+    (sampling.py:562-726).
+
+    ``mesh``: shard MMDiT params by the TP rules for multi-chip inference
+    (the reference's hybrid-plugin boost, utils/cai.py:51-71); pair with
+    attn_backend="ulysses"/"ring" in the model config for SP."""
     optional_models = optional_models or {}
+    if mesh is not None and model.variables is not None:
+        from opensora_tpu.parallel.context import set_mesh
+        from opensora_tpu.parallel.sharding import make_shardings, mmdit_param_specs
+
+        set_mesh(mesh)
+        params = model.variables["params"]
+        model.variables = {
+            "params": jax.device_put(
+                params, make_shardings(mesh, mmdit_param_specs(params, fsdp=False))
+            )
+        }
     denoise_cache: Dict[Any, Callable] = {}
 
     ae_encode = jax.jit(

@@ -79,12 +79,45 @@ def main():
     fps_save = cfg.get("fps_save", 16)
     timers = Timers()
 
+    # t2i2v: generate the first frame with the distilled image flux, then
+    # condition the video model on it (reference inference.py:161-214)
+    t2i2v = "img_flux" in optional
+    api_fn_img = None
+    if t2i2v:
+        from opensora_tpu.utils.sampling import SamplingMethod
+
+        api_fn_img = prepare_api(
+            optional["img_flux"], optional["img_flux_ae"], model_t5, model_clip, {}
+        )
+        opt_img = sanitize_sampling_option(
+            SamplingOption(**cfg.get("sampling_option_t2i", {"resolution": "768px",
+                                                             "aspect_ratio": "1:1",
+                                                             "num_frames": 1,
+                                                             "method": "distill"}))
+        )
+        cond_type = "i2v_head"
+
     sample_idx = 0
     for batch in dataloader:
         texts = batch["text"]
         kwargs = {}
         if "ref" in batch:
             kwargs["ref"] = batch["ref"]
+        if t2i2v and "ref" not in kwargs:
+            from opensora_tpu.utils.inference import save_sample
+
+            imgs = api_fn_img(
+                opt_img, cond_type="t2v", text=texts,
+                channel=cfg["img_flux"]["in_channels"],
+            )
+            refs = []
+            for bi in range(len(texts)):
+                p = save_sample(
+                    np.asarray(imgs[bi]),
+                    os.path.join(save_dir, f"t2i_{sample_idx + bi:04d}"),
+                )
+                refs.append(p)
+            kwargs["ref"] = refs
         with timers("generate"):
             x = api_fn(
                 opt,

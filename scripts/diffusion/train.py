@@ -44,6 +44,7 @@ def main():
     from opensora_tpu.utils.logger import create_logger
     from opensora_tpu.utils.misc import Timers, count_params, format_numel, log_device_memory
     from opensora_tpu.utils.optimizer import create_optimizer
+    from opensora_tpu.utils.tb import MetricsWriter
     from opensora_tpu.utils.sampling import build_img_ids, pack, prepare
     from opensora_tpu.utils.train import build_visual_condition, choose_mask_conditions
     import opensora_tpu.models.mmdit  # noqa: F401
@@ -151,6 +152,7 @@ def main():
     null_vec = np.asarray(model_clip([""]))
 
     timers = Timers()
+    writer = MetricsWriter(exp_dir, use_wandb=cfg.get("wandb", False), config=cfg.to_dict())
     seq_align = cfg.get("seq_align", 1)
     condition_config = cfg.get("condition_config")
     host_rng = np.random.default_rng(cfg.get("seed", 42))
@@ -216,10 +218,15 @@ def main():
 
             if global_step % log_every == 0:
                 loss = float(metrics["loss"])
+                tdict = timers.to_dict()
                 logger.info(
                     "epoch %d step %d/%d loss %.4f grad_norm %.3f %s",
                     epoch, step, num_steps_per_epoch, loss,
-                    float(metrics["grad_norm"]), timers.to_dict(),
+                    float(metrics["grad_norm"]), tdict,
+                )
+                writer.log(
+                    {"loss": loss, "grad_norm": float(metrics["grad_norm"]), **tdict},
+                    global_step,
                 )
             if global_step % ckpt_every == 0:
                 with timers("checkpoint"):
@@ -234,6 +241,7 @@ def main():
 
     ckpt_io.save(exp_dir, state, total_epochs - 1, num_steps_per_epoch, global_step)
     ckpt_io.wait()
+    writer.close()
     logger.info("training done")
 
 
