@@ -95,37 +95,42 @@ def ring_attention(
     backend: Optional[str] = None,
 ) -> jnp.ndarray:
     """Ring attention: every rank keeps its Q shard; KV shards rotate around
-    the 'sp' ring via ppermute, partials merge by LSE rescaling. Forward
-    only (inference); training uses Ulysses until the Pallas ring-bwd lands."""
+    the 'sp' ring via ppermute, partials merge by LSE rescaling
+    (reference RingAttention fwd, distributed.py:219-313).
+
+    Differentiable: the backward pass mirrors the reference's bwd ring
+    (distributed.py:316-373) — dk/dv accumulators travel WITH the rotating
+    KV blocks and arrive home after a full circle, while dq accumulates
+    locally from the stored global LSE. Gradient partials are jnp einsums
+    for now (Pallas partial-bwd kernels are the planned upgrade); the
+    forward uses the Pallas flash kernel when available."""
     sp = mesh.shape[SP_AXIS]
     spec = P(DATA_AXIS, SP_AXIS, None, None)
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+    scale_by = None  # default 1/sqrt(d)
 
-    def local_fn(ql, kl, vl):
-        qh = ql.transpose(0, 2, 1, 3)  # (B, H, Lq_local, D)
-        kh = kl.transpose(0, 2, 1, 3)
-        vh = vl.transpose(0, 2, 1, 3)
-        perm = [(i, (i + 1) % sp) for i in range(sp)]
+    def _partial(qh, k_cur, v_cur):
+        """One ring step's (out, lse) partial. (B, H, L, D) fp32 out."""
+        if backend in (None, "pallas", "pallas_interpret"):
+            o_i, lse_i = flash_attention_with_lse(
+                qh, k_cur, v_cur, interpret=(backend == "pallas_interpret")
+            )
+            return o_i.astype(jnp.float32), lse_i
+        scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh.astype(jnp.float32), k_cur.astype(jnp.float32)
+        ) * scale
+        lse_i = jax.scipy.special.logsumexp(s, axis=-1)
+        o_i = jnp.einsum(
+            "bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1),
+            v_cur.astype(jnp.float32),
+        )
+        return o_i, lse_i
 
+    def _fwd_scan(qh, kh, vh):
         def step(carry, _):
             o_acc, lse_acc, k_cur, v_cur, first = carry
-            if backend in (None, "pallas", "pallas_interpret"):
-                o_i, lse_i = flash_attention_with_lse(
-                    qh, k_cur, v_cur,
-                    interpret=(backend == "pallas_interpret"),
-                )
-                o_i = o_i.astype(jnp.float32)
-            else:
-                # xla reference path: compute lse explicitly
-                scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
-                s = jnp.einsum(
-                    "bhqd,bhkd->bhqk",
-                    qh.astype(jnp.float32), k_cur.astype(jnp.float32),
-                ) * scale
-                lse_i = jax.scipy.special.logsumexp(s, axis=-1)
-                o_i = jnp.einsum(
-                    "bhqk,bhkd->bhqd",
-                    jax.nn.softmax(s, axis=-1), v_cur.astype(jnp.float32),
-                )
+            o_i, lse_i = _partial(qh, k_cur, v_cur)
             o_new, lse_new = jax.lax.cond(
                 first,
                 lambda: (o_i, lse_i),
@@ -140,7 +145,59 @@ def ring_attention(
         (o, lse, _, _, _), _ = jax.lax.scan(
             step, (o0, lse0, kh, vh, jnp.asarray(True)), None, length=sp
         )
-        return o.astype(ql.dtype).transpose(0, 2, 1, 3)
+        return o, lse
+
+    @jax.custom_vjp
+    def _ring(qh, kh, vh):
+        o, _ = _fwd_scan(qh, kh, vh)
+        return o.astype(qh.dtype)
+
+    def _ring_fwd(qh, kh, vh):
+        o, lse = _fwd_scan(qh, kh, vh)
+        return o.astype(qh.dtype), (qh, kh, vh, o, lse)
+
+    def _ring_bwd(res, g):
+        qh, kh, vh, o, lse = res
+        do = g.astype(jnp.float32)
+        delta = jnp.sum(do * o, axis=-1)  # (B, H, Lq)
+        scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
+        qf = qh.astype(jnp.float32)
+
+        def step(carry, _):
+            dq_acc, k_cur, v_cur, dk_acc, dv_acc = carry
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32)) * scale
+            p = jnp.exp(s - lse[..., None])
+            dv_i = jnp.einsum("bhqk,bhqd->bhkd", p, do)
+            dp = jnp.einsum("bhqd,bhkd->bhqk", do, v_cur.astype(jnp.float32))
+            ds = p * (dp - delta[..., None]) * scale
+            dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, k_cur.astype(jnp.float32))
+            dk_i = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+            # rotate kv AND its gradient accumulators together: after a full
+            # circle the accumulated dk/dv land back on the owning rank
+            k_cur = jax.lax.ppermute(k_cur, SP_AXIS, perm)
+            v_cur = jax.lax.ppermute(v_cur, SP_AXIS, perm)
+            dk_acc = jax.lax.ppermute(dk_acc + dk_i, SP_AXIS, perm)
+            dv_acc = jax.lax.ppermute(dv_acc + dv_i, SP_AXIS, perm)
+            return (dq_acc, k_cur, v_cur, dk_acc, dv_acc), None
+
+        zeros_kv = jnp.zeros(kh.shape, jnp.float32)
+        (dq, _, _, dk, dv), _ = jax.lax.scan(
+            step,
+            (jnp.zeros(qh.shape, jnp.float32), kh, vh, zeros_kv, zeros_kv),
+            None,
+            length=sp,
+        )
+        return dq.astype(qh.dtype), dk.astype(kh.dtype), dv.astype(vh.dtype)
+
+    _ring.defvjp(_ring_fwd, _ring_bwd)
+
+    def local_fn(ql, kl, vl):
+        o = _ring(
+            ql.transpose(0, 2, 1, 3),
+            kl.transpose(0, 2, 1, 3),
+            vl.transpose(0, 2, 1, 3),
+        )
+        return o.transpose(0, 2, 1, 3)
 
     return shard_map(
         local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

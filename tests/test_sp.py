@@ -54,3 +54,18 @@ def test_ulysses_under_jit(mesh):
     out = f(q, k, v)
     ref = _reference(q, k, v)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+
+
+def test_ring_backward_matches_full(mesh):
+    q, k, v = _inputs(mesh)
+
+    def loss_ring(a, b, c):
+        return (ring_attention(a, b, c, mesh, backend="xla") ** 2).sum()
+
+    def loss_ref(a, b, c):
+        return (_reference(a, b, c) ** 2).sum()
+
+    g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
