@@ -22,9 +22,7 @@ sampling_option = dict(
     method="i2v",
     seed=None,
 )
-motion_score = "4"
-
-dataset = dict(type="text")
+dataset = dict(type="text", fps=16, motion_score="4")
 
 model = dict(
     type="flux",
