@@ -18,7 +18,6 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from opensora_tpu.datasets.sampler import (
-    BatchDistributedSampler,
     StatefulDistributedSampler,
     VariableVideoBatchSampler,
 )

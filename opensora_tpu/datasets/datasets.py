@@ -10,7 +10,6 @@ samples return None and are filtered at collate (reference :240-243).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import numpy as np

@@ -22,7 +22,7 @@ same assignment deterministically from the shared seed — no broadcast needed.
 from __future__ import annotations
 
 from collections import OrderedDict, defaultdict
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

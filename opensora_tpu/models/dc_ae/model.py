@@ -15,7 +15,7 @@ Layout: (B, C, T, H, W) at the boundary, channels-last inside.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -24,10 +24,7 @@ import jax.numpy as jnp
 from opensora_tpu.models.dc_ae.ops import (
     ChannelDuplicatingPixelShuffleUpSampleLayer,
     ConvLayer,
-    ConvPixelShuffleUpSampleLayer,
-    ConvPixelUnshuffleDownSampleLayer,
     EfficientViTBlock,
-    GLUMBConv,
     InterpolateConvUpSampleLayer,
     PixelUnshuffleChannelAveragingDownSampleLayer,
     ResBlock,

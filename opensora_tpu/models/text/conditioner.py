@@ -14,8 +14,7 @@ byte-fallback tokenizer keeps the pipeline runnable offline (tests, dev).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

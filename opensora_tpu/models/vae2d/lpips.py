@@ -9,7 +9,7 @@ callers fall back to pixel-space losses (zero-egress environments)."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

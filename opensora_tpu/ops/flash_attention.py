@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 2048
+DEFAULT_BLOCK_K = 1024
 
 
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from opensora_tpu.ops.flash_attention import flash_attention, flash_attention_with_lse
+from opensora_tpu.ops.flash_attention import flash_attention_with_lse
 from opensora_tpu.parallel.mesh import DATA_AXIS, SP_AXIS
 
 

@@ -39,13 +39,19 @@ class MeshConfig:
     tp_size: int = 1
 
     def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        sp, tp = self.sp_size, self.tp_size
-        dp = self.dp_size
-        if dp == -1:
-            assert n_devices % (sp * tp) == 0, (
-                f"{n_devices} devices not divisible by sp*tp={sp * tp}"
+        sizes = [self.dp_size, self.sp_size, self.tp_size]
+        fills = [i for i, s in enumerate(sizes) if s == -1]
+        assert len(fills) <= 1, "only one mesh axis may be -1 (fill remaining)"
+        if fills:
+            known = 1
+            for s in sizes:
+                if s != -1:
+                    known *= s
+            assert n_devices % known == 0, (
+                f"{n_devices} devices not divisible by fixed axes product {known}"
             )
-            dp = n_devices // (sp * tp)
+            sizes[fills[0]] = n_devices // known
+        dp, sp, tp = sizes
         assert dp * sp * tp == n_devices, (
             f"dp*sp*tp={dp * sp * tp} != n_devices={n_devices}"
         )

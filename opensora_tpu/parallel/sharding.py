@@ -17,7 +17,7 @@ opensora/utils/train.py:73-128 ZeRO plugins):
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -13,8 +13,6 @@ TPU design: one jitted train_step over the full mesh —
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -23,9 +21,8 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from opensora_tpu.parallel.mesh import DATA_AXIS, SP_AXIS
 from opensora_tpu.parallel.sharding import make_shardings, mmdit_param_specs
-from opensora_tpu.utils.sampling import pack, time_shift, get_res_lin_function
+from opensora_tpu.utils.sampling import time_shift, get_res_lin_function
 from opensora_tpu.utils.train import (
     dropout_condition,
     get_batch_loss,

@@ -14,7 +14,7 @@ Scanned blocks (leading 'layers' axis) get per-layer factors automatically.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

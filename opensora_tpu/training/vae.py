@@ -11,7 +11,7 @@ jax.grad on scalar heads (no autograd side-channel)."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,6 @@ import optax
 from flax import struct
 
 from opensora_tpu.models.vae2d.losses import (
-    adaptive_generator_weight,
     discriminator_loss,
     generator_loss,
     vae_loss,

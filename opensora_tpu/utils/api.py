@@ -9,7 +9,6 @@ executable.
 
 from __future__ import annotations
 
-import functools
 import random as pyrandom
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
@@ -23,7 +22,6 @@ from opensora_tpu.utils.inference import (
     collect_references_batch,
     prepare_inference_condition,
 )
-from opensora_tpu.utils.misc import to_jax_dtype
 
 
 @dataclass

@@ -20,7 +20,7 @@ import queue
 import struct
 import subprocess
 import threading
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -15,14 +15,13 @@ reference also draws it — random.choices on CPU)."""
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from opensora_tpu.utils.sampling import get_res_lin_function, pack, time_shift
+from opensora_tpu.utils.sampling import get_res_lin_function, time_shift
 
 
 # ----------------------------------------------------------------------

@@ -71,7 +71,13 @@ def main():
     model, model_ae, model_t5, model_clip, optional = prepare_models(
         cfg, dtype=cfg.get("dtype", "bf16")
     )
-    api_fn = prepare_api(model, model_ae, model_t5, model_clip, optional)
+    mesh = None
+    if cfg.get("mesh") is not None and len(jax.devices()) > 1:
+        from opensora_tpu.parallel.mesh import MeshConfig, create_mesh
+
+        mesh = create_mesh(MeshConfig(**cfg.mesh))
+        logger.info("inference mesh: %s", mesh)
+    api_fn = prepare_api(model, model_ae, model_t5, model_clip, optional, mesh=mesh)
 
     opt = sanitize_sampling_option(SamplingOption(**cfg.get("sampling_option", {})))
     cond_type = cfg.get("cond_type", "t2v")

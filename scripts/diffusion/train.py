@@ -54,6 +54,10 @@ def main():
     import opensora_tpu.datasets.datasets  # noqa: F401
 
     cfg = parse_configs()
+    if cfg.get("multi_host", False):
+        # multi-host pods: one process per host over DCN (the analogue of
+        # torchrun + dist.init_process_group, reference utils/train.py:56-70)
+        jax.distributed.initialize()
     exp_dir = create_experiment_workspace(cfg)
     logger = create_logger(exp_dir)
     logger.info("experiment dir: %s", exp_dir)
@@ -147,6 +151,16 @@ def main():
             sampler.load_state_dict(sampler_state)
         logger.info("resumed at epoch %d step %d", start_epoch, start_step)
 
+    # pre-compile the AE over every bucket shape (reference warmup_ae,
+    # utils/train.py:453-459) so the first epoch pays no compile stalls
+    if cfg.get("warmup_ae", False) and ae_encode is not None:
+        from opensora_tpu.datasets.aspect import bucket_to_shapes
+
+        for shape in bucket_to_shapes(cfg.bucket_config, batch_size=1):
+            rng, r = jax.random.split(rng)
+            ae_encode(jnp.zeros(shape, jnp.float32), r)
+            logger.info("warmed AE for %s", shape)
+
     # null embeddings for CFG dropout
     null_txt = np.asarray(model_t5([""]))
     null_vec = np.asarray(model_clip([""]))
@@ -211,10 +225,16 @@ def main():
                 "null_vec": jnp.broadcast_to(jnp.asarray(null_vec), inp["y_vec"].shape),
             }
 
+            prof = cfg.get("profile")  # dict(start=, end=) global steps
+            if prof and global_step == prof.get("start", -1):
+                jax.profiler.start_trace(os.path.join(exp_dir, "profile"))
             with timers("step"):
                 rng, r_step = jax.random.split(rng)
                 state, metrics = step_fn(state, tb, r_step)
             global_step += 1
+            if prof and global_step == prof.get("end", -1):
+                jax.profiler.stop_trace()
+                logger.info("profile written to %s/profile", exp_dir)
 
             if global_step % log_every == 0:
                 loss = float(metrics["loss"])
