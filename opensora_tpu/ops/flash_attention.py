@@ -40,6 +40,15 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 
 
+def pick_blocks(q_len: int, kv_len: int) -> tuple[int, int]:
+    """Static block-size heuristic, measured on v5e (bench.py):
+    (512, 1024) hit 154 TFLOP/s at ~3k tokens; (2048,·) regressed compile.
+    Shorter sequences shrink blocks so the grid still has parallelism."""
+    bq = 512 if q_len >= 1024 else 256
+    bk = 1024 if kv_len >= 2048 else 512
+    return min(bq, q_len), min(bk, kv_len)
+
+
 
 def _zero_tail_rows(x, blk_idx, block, valid_len):
     """Zero rows of a loaded tile that lie beyond ``valid_len``.
@@ -402,36 +411,40 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     sm_scale: Optional[float] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     causal_block: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over (B, H, L, D) tensors. Differentiable.
 
     ``causal_block``: frame-causal mask granularity (see module docstring);
-    None = full bidirectional attention (the MMDiT case).
+    None = full bidirectional attention (the MMDiT case). Block sizes
+    default to the measured per-shape heuristic (pick_blocks).
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2])
     return _flash_attention(
-        q, k, v, sm_scale, block_q, block_k, causal_block, interpret
+        q, k, v, sm_scale, block_q or auto_bq, block_k or auto_bk,
+        causal_block, interpret,
     )
 
 
 def flash_attention_with_lse(
     q, k, v, *,
     sm_scale: Optional[float] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     causal_block: Optional[int] = None,
     interpret: bool = False,
 ):
     """Forward-only variant returning (out, lse) for ring-attention merging."""
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2])
     return _flash_forward(
         q, k, v,
-        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        sm_scale=sm_scale, block_q=block_q or auto_bq, block_k=block_k or auto_bk,
         causal_block=causal_block, interpret=interpret,
     )

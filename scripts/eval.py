@@ -1,0 +1,72 @@
+"""Evaluation CLI: VAE reconstruction metrics and VBench-style generation
+metrics over a directory of samples.
+
+Usage:
+  python scripts/eval.py --samples samples/ [--prompts prompts.csv]
+
+Written fresh (the reference's eval folder is absent from its tree;
+SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def load_video(path):
+    from opensora_tpu.datasets.utils import normalize_video, read_image, read_video
+
+    if path.endswith(".png"):
+        return normalize_video(read_image(path))
+    return normalize_video(read_video(path)[0])
+
+
+def main():
+    args = dict(zip(sys.argv[1::2], sys.argv[2::2]))
+    sample_dir = args.get("--samples", "samples")
+    from opensora_tpu.eval.metrics import psnr, ssim_video
+    from opensora_tpu.eval.vbench import evaluate_videos
+
+    files = sorted(
+        f for f in os.listdir(sample_dir) if f.endswith((".mp4", ".png"))
+    )
+    videos, texts = [], []
+    for f in files:
+        v = load_video(os.path.join(sample_dir, f))
+        videos.append(v)
+        txt_file = os.path.join(sample_dir, f.rsplit(".", 1)[0] + ".txt")
+        texts.append(open(txt_file).read() if os.path.exists(txt_file) else "")
+
+    if not videos:
+        print(json.dumps({"error": f"no samples in {sample_dir}"}))
+        return
+
+    report = evaluate_videos(videos, texts)
+    report["num_samples"] = len(videos)
+
+    # paired orig/recn files → reconstruction metrics (vae inference output)
+    pairs = [
+        (f, f.replace("_orig", "_recn"))
+        for f in files
+        if "_orig" in f and f.replace("_orig", "_recn") in files
+    ]
+    if pairs:
+        ps, ss = [], []
+        for a, b in pairs:
+            va = load_video(os.path.join(sample_dir, a))
+            vb = load_video(os.path.join(sample_dir, b))
+            ps.append(psnr(va, vb))
+            ss.append(ssim_video(va, vb))
+        report["recon_psnr"] = float(np.mean(ps))
+        report["recon_ssim"] = float(np.mean(ss))
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
