@@ -45,7 +45,7 @@ def main():
     from opensora_tpu.utils.misc import Timers, count_params, format_numel, log_device_memory
     from opensora_tpu.utils.optimizer import create_optimizer
     from opensora_tpu.utils.tb import MetricsWriter
-    from opensora_tpu.utils.sampling import build_img_ids, pack, prepare
+    from opensora_tpu.utils.sampling import build_img_ids, pack, prepare, prepare_ids
     from opensora_tpu.utils.train import build_visual_condition, choose_mask_conditions
     import opensora_tpu.models.mmdit  # noqa: F401
     import opensora_tpu.models.hunyuan_vae  # noqa: F401
@@ -180,9 +180,22 @@ def main():
         sampler.set_epoch(epoch)
         for step, batch in enumerate(dataloader, start=start_step):
             with timers("encode_video"):
-                x = jnp.asarray(batch["video"])
                 rng, r_ae = jax.random.split(rng)
-                if condition_config is not None:
+                if cfg.get("cached_video", False):
+                    # precomputed latents + text embeddings
+                    # (reference train.py:380,393 cached paths)
+                    x0_lat = jnp.asarray(batch["video_latents"])
+                    masks = cond_packed = None
+                    inp = prepare_ids(
+                        x0_lat,
+                        jnp.asarray(batch["text_t5"]),
+                        jnp.asarray(batch["text_clip"]),
+                    )
+                    cached = True
+                else:
+                    cached = False
+                    x = jnp.asarray(batch["video"])
+                if not cached and condition_config is not None:
                     latent = ae_encode(x, r_ae)
                     lt = latent.shape[2]
                     mask_conds = choose_mask_conditions(
@@ -196,15 +209,16 @@ def main():
                     )
                     cond_packed = pack(cond, patch_size=patch_size)
                     x0_lat = latent
-                else:
+                elif not cached:
                     x0_lat = ae_encode(x, r_ae)
                     masks = cond_packed = None
 
             with timers("encode_text"):
-                inp = prepare(
-                    model_t5, model_clip, x0_lat, prompt=batch["text"],
-                    seq_align=seq_align, patch_size=patch_size,
-                )
+                if not cached:
+                    inp = prepare(
+                        model_t5, model_clip, x0_lat, prompt=batch["text"],
+                        seq_align=seq_align, patch_size=patch_size,
+                    )
 
             lt, lh, lw = x0_lat.shape[2], x0_lat.shape[3], x0_lat.shape[4]
             shift_alpha = compute_shift_alpha(lh, lw, lt)
