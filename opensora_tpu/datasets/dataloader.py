@@ -124,6 +124,19 @@ def prepare_dataloader(
         return loader, sampler
 
     assert batch_size is not None
+
+    data = getattr(dataset, "data", None)
+    if data is not None and "shape" in getattr(data, "columns", []):
+        from opensora_tpu.datasets.sampler import ShapeGroupedBatchSampler
+
+        sampler = ShapeGroupedBatchSampler(
+            data["shape"].tolist(), batch_size,
+            num_replicas=num_replicas, rank=rank,
+            shuffle=shuffle, seed=seed, drop_last=drop_last,
+        )
+        loader = DataLoader(dataset, sampler, num_workers=num_workers, prefetch=prefetch)
+        return loader, sampler
+
     index_sampler = StatefulDistributedSampler(
         len(dataset), num_replicas=num_replicas, rank=rank,
         shuffle=shuffle, seed=seed, drop_last=drop_last,

@@ -284,3 +284,65 @@ class BatchDistributedSampler(StatefulDistributedSampler):
         for b in idx[self.start_index :]:
             start = int(b) * self.batch_size
             yield list(range(start, start + self.batch_size))
+
+
+class ShapeGroupedBatchSampler:
+    """Uniform-shape batches for cached-latent datasets: rows are grouped by
+    their recorded latent shape so collate can stack them (the reference
+    sidesteps this by saving whole batches and replaying them with
+    BatchDistributedSampler; per-sample caches need explicit grouping)."""
+
+    def __init__(
+        self,
+        shapes,
+        batch_size: int,
+        num_replicas: int = 1,
+        rank: int = 0,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.shapes = list(shapes)
+        self.batch_size = batch_size
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+        self.start_index = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _batches(self):
+        groups: Dict[str, List[int]] = defaultdict(list)
+        for i, sh in enumerate(self.shapes):
+            groups[str(sh)].append(i)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        batches = []
+        for key in sorted(groups):
+            idx = groups[key]
+            if self.shuffle:
+                idx = [idx[j] for j in rng.permutation(len(idx))]
+            for s in range(0, len(idx), self.batch_size):
+                b = idx[s:s + self.batch_size]
+                if len(b) == self.batch_size or not self.drop_last:
+                    batches.append(b)
+        if self.shuffle:
+            batches = [batches[j] for j in rng.permutation(len(batches))]
+        return batches[self.rank::self.num_replicas]
+
+    def __iter__(self):
+        for b in self._batches()[self.start_index:]:
+            yield b
+        self.start_index = 0
+
+    def __len__(self):
+        return len(self._batches()) - self.start_index
+
+    def state_dict(self, step: int) -> dict:
+        return {"start_index": step}
+
+    def load_state_dict(self, state: dict):
+        self.start_index = state.get("start_index", 0)

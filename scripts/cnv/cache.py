@@ -57,9 +57,10 @@ def main():
     n = 0
     for batch in dataloader:
         rng, r = jax.random.split(rng)
-        latents = np.asarray(encode(jnp.asarray(batch["video"]), r))
-        t5_emb = np.asarray(t5(batch["text"]))
-        clip_emb = np.asarray(clip(batch["text"]))
+        # store fp32 — np.save of bfloat16 round-trips as a void dtype
+        latents = np.asarray(encode(jnp.asarray(batch["video"]), r), np.float32)
+        t5_emb = np.asarray(t5(batch["text"]), np.float32)
+        clip_emb = np.asarray(clip(batch["text"]), np.float32)
         for i in range(latents.shape[0]):
             lat_p = os.path.join(out_dir, f"lat_{n:06d}.npy")
             t5_p = os.path.join(out_dir, f"t5_{n:06d}.npy")
@@ -69,7 +70,8 @@ def main():
             np.save(cl_p, clip_emb[i])
             rows.append(
                 dict(latent_path=lat_p, t5_path=t5_p, clip_path=cl_p,
-                     text=batch["text"][i])
+                     text=batch["text"][i],
+                     shape="x".join(str(d) for d in latents[i].shape))
             )
             n += 1
         if n % 100 == 0:

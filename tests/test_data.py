@@ -136,3 +136,15 @@ def test_pack_unpack_roundtrip():
     # unpack uses AE_SPATIAL_COMPRESSION=16: h=ceil(H*8/16)... invert manually
     restored = unpack(packed, height=8 * 8, width=8 * 8, num_frames=3, patch_size=2)
     assert jnp.array_equal(restored, x)
+
+
+def test_shape_grouped_batch_sampler():
+    from opensora_tpu.datasets.sampler import ShapeGroupedBatchSampler
+
+    shapes = ["4x2x8x8"] * 5 + ["4x1x8x8"] * 3
+    s = ShapeGroupedBatchSampler(shapes, batch_size=2, shuffle=True, seed=1)
+    batches = list(s)
+    for b in batches:
+        assert len({shapes[i] for i in b}) == 1  # uniform shape per batch
+    covered = sorted(i for b in batches for i in b)
+    assert covered == list(range(8))
