@@ -361,3 +361,79 @@ class CheckpointIO:
         entries.sort(reverse=True)
         for _, name in entries[keep_n_latest:]:
             shutil.rmtree(os.path.join(exp_dir, name), ignore_errors=True)
+
+
+def convert_t5_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map HF T5EncoderModel torch weights into our flax T5Encoder pytree
+    (models/text/t5.py). T5 linears have no bias; layer norms are scale-only."""
+    out: Dict[str, Any] = {"shared": {"embedding": sd["shared.weight"]}}
+
+    def lin(prefix):
+        return {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+
+    i = 0
+    while f"encoder.block.{i}.layer.0.SelfAttention.q.weight" in sd:
+        p = f"encoder.block.{i}.layer.0"
+        blk = {
+            "ln_attn": {"weight": sd[f"{p}.layer_norm.weight"]},
+            "attention": {
+                "q": lin(f"{p}.SelfAttention.q"),
+                "k": lin(f"{p}.SelfAttention.k"),
+                "v": lin(f"{p}.SelfAttention.v"),
+                "o": lin(f"{p}.SelfAttention.o"),
+            },
+        }
+        if i == 0:
+            blk["attention"]["relative_attention_bias"] = sd[
+                f"{p}.SelfAttention.relative_attention_bias.weight"
+            ]
+        pf = f"encoder.block.{i}.layer.1"
+        blk.update({
+            "ln_ff": {"weight": sd[f"{pf}.layer_norm.weight"]},
+            "wi_0": lin(f"{pf}.DenseReluDense.wi_0"),
+            "wi_1": lin(f"{pf}.DenseReluDense.wi_1"),
+            "wo": lin(f"{pf}.DenseReluDense.wo"),
+        })
+        out[f"block_{i}"] = blk
+        i += 1
+    out["final_layer_norm"] = {"weight": sd["encoder.final_layer_norm.weight"]}
+    return out
+
+
+def convert_clip_text_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map HF CLIPTextModel torch weights into our flax CLIPTextModel pytree
+    (models/text/clip.py)."""
+    pre = "text_model."
+
+    def lin(prefix):
+        out = {"kernel": np.ascontiguousarray(sd[pre + prefix + ".weight"].T)}
+        if pre + prefix + ".bias" in sd:
+            out["bias"] = sd[pre + prefix + ".bias"]
+        return out
+
+    def ln(prefix):
+        return {
+            "scale": sd[pre + prefix + ".weight"],
+            "bias": sd[pre + prefix + ".bias"],
+        }
+
+    out: Dict[str, Any] = {
+        "token_embedding": {"embedding": sd[pre + "embeddings.token_embedding.weight"]},
+        "position_embedding": sd[pre + "embeddings.position_embedding.weight"],
+        "final_layer_norm": ln("final_layer_norm"),
+    }
+    i = 0
+    while pre + f"encoder.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"encoder.layers.{i}"
+        out[f"layers_{i}"] = {
+            "layer_norm1": ln(f"{p}.layer_norm1"),
+            "layer_norm2": ln(f"{p}.layer_norm2"),
+            "q_proj": lin(f"{p}.self_attn.q_proj"),
+            "k_proj": lin(f"{p}.self_attn.k_proj"),
+            "v_proj": lin(f"{p}.self_attn.v_proj"),
+            "out_proj": lin(f"{p}.self_attn.out_proj"),
+            "fc1": lin(f"{p}.mlp.fc1"),
+            "fc2": lin(f"{p}.mlp.fc2"),
+        }
+        i += 1
+    return out
