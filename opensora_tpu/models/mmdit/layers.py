@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from opensora_tpu.ops.attention import attention
 from opensora_tpu.ops.norms import layer_norm, rms_norm
+from opensora_tpu.ops.quant import dense
 from opensora_tpu.ops.rope import embed_nd
 
 
@@ -98,13 +99,14 @@ class Modulation(nn.Module):
     double: bool
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, vec: jnp.ndarray):
         mult = 6 if self.double else 3
-        out = nn.Dense(
-            mult * self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="lin",
+        out = dense(
+            self.quantized, mult * self.dim,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="lin",
         )(nn.silu(vec))
         out = out[:, None, :]
         chunks = jnp.split(out, mult, axis=-1)
@@ -131,30 +133,26 @@ class SelfAttention(nn.Module):
     fused_qkv: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if self.fused_qkv:
-            self.qkv = nn.Dense(
-                self.dim * 3, use_bias=self.qkv_bias,
-                dtype=self.dtype, param_dtype=self.param_dtype,
+            self.qkv = dense(
+                self.quantized, self.dim * 3, use_bias=self.qkv_bias, **common
             )
         else:
-            self.q_proj = nn.Dense(
-                self.dim, use_bias=self.qkv_bias,
-                dtype=self.dtype, param_dtype=self.param_dtype,
+            self.q_proj = dense(
+                self.quantized, self.dim, use_bias=self.qkv_bias, **common
             )
-            self.k_proj = nn.Dense(
-                self.dim, use_bias=self.qkv_bias,
-                dtype=self.dtype, param_dtype=self.param_dtype,
+            self.k_proj = dense(
+                self.quantized, self.dim, use_bias=self.qkv_bias, **common
             )
-            self.v_proj = nn.Dense(
-                self.dim, use_bias=self.qkv_bias,
-                dtype=self.dtype, param_dtype=self.param_dtype,
+            self.v_proj = dense(
+                self.quantized, self.dim, use_bias=self.qkv_bias, **common
             )
         self.norm = QKNorm(self.dim // self.num_heads, self.param_dtype)
-        self.proj = nn.Dense(
-            self.dim, dtype=self.dtype, param_dtype=self.param_dtype
-        )
+        self.proj = dense(self.quantized, self.dim, **common)
 
     def qkv_heads(self, x: jnp.ndarray):
         """Project to per-head q, k, v of shape (B, L, H, D)."""
@@ -182,16 +180,14 @@ class Mlp(nn.Module):
     out_dim: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(
-            self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="0"
-        )(x)
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = dense(self.quantized, self.hidden_dim, **common, name="0")(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(
-            self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="2"
-        )(x)
+        return dense(self.quantized, self.out_dim, **common, name="2")(x)
 
 
 def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
@@ -214,9 +210,12 @@ class DoubleStreamBlock(nn.Module):
     attn_backend: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     def setup(self):
-        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        common = dict(
+            dtype=self.dtype, param_dtype=self.param_dtype, quantized=self.quantized
+        )
         mlp_hidden = int(self.hidden_size * self.mlp_ratio)
         self.img_mod = Modulation(self.hidden_size, double=True, **common)
         self.txt_mod = Modulation(self.hidden_size, double=True, **common)
@@ -277,21 +276,23 @@ class SingleStreamBlock(nn.Module):
     attn_backend: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        q = self.quantized
         self.mlp_hidden_dim = int(self.hidden_size * self.mlp_ratio)
         if self.fused_qkv:
-            self.linear1 = nn.Dense(
-                self.hidden_size * 3 + self.mlp_hidden_dim, **common
+            self.linear1 = dense(
+                q, self.hidden_size * 3 + self.mlp_hidden_dim, **common
             )
         else:
-            self.q_proj = nn.Dense(self.hidden_size, **common)
-            self.k_proj = nn.Dense(self.hidden_size, **common)
-            self.v_mlp = nn.Dense(self.hidden_size + self.mlp_hidden_dim, **common)
-        self.linear2 = nn.Dense(self.hidden_size, **common)
+            self.q_proj = dense(q, self.hidden_size, **common)
+            self.k_proj = dense(q, self.hidden_size, **common)
+            self.v_mlp = dense(q, self.hidden_size + self.mlp_hidden_dim, **common)
+        self.linear2 = dense(q, self.hidden_size, **common)
         self.norm = QKNorm(self.hidden_size // self.num_heads, self.param_dtype)
-        self.modulation = Modulation(self.hidden_size, double=False, **common)
+        self.modulation = Modulation(self.hidden_size, double=False, quantized=q, **common)
 
     def __call__(self, x, vec, pe):
         (shift, scale, gate), _ = self.modulation(vec)

@@ -56,6 +56,7 @@ class MMDiTConfig:
     rope_convention: str = "split"  # "split" (fast) or "interleaved" (parity)
     attn_backend: Optional[str] = None  # None = auto (pallas on TPU)
     remat: bool = False  # checkpoint each scanned block
+    quantized: bool = False  # int8 weight-only blocks (serving; ops/quant.py)
     # remat policy ≙ reference grad_ckpt_settings + activation CPU offload
     # (opensora/acceleration/checkpoint.py): "full" recomputes everything,
     # "dots" saves matmul outputs, "offload" parks checkpoints in host RAM
@@ -116,6 +117,7 @@ class MMDiTModel(nn.Module):
             fused_qkv=cfg.fused_qkv,
             rope_convention=cfg.rope_convention,
             attn_backend=cfg.attn_backend,
+            quantized=cfg.quantized,
             **common,
         )
 

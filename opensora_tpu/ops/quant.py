@@ -1,0 +1,84 @@
+"""Int8 weight-only quantization for serving.
+
+Production-serving feature with no reference equivalent (the reference's
+single-GPU story is TP + CPU offload, README.md:281-288): per-output-channel
+absmax int8 kernels halve weight memory vs bf16, letting the full 11B MMDiT
+(22 GB bf16) fit a single 16 GB v5e chip. Dequantization is a convert fused
+into the matmul by XLA (y = (x @ W_q) · scale), so the MXU still runs bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class QuantDense(nn.Module):
+    """Drop-in Dense over int8 weights + per-output-channel fp32 scales."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_f = x.shape[-1]
+        q = self.param(
+            "kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        x = x.astype(self.dtype)
+        y = jnp.dot(x, q.astype(self.dtype)) * scale.astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+def dense(quantized: bool, features: int, **kw):
+    """nn.Dense or QuantDense, keyword-compatible."""
+    if quantized:
+        return QuantDense(features, **kw)
+    return nn.Dense(features, **kw)
+
+
+def quantize_kernel(kernel: np.ndarray):
+    """(..., in, out) float kernel → (int8 kernel, (out,) fp32 scale)."""
+    k = np.asarray(kernel, np.float32)
+    absmax = np.max(np.abs(k), axis=tuple(range(k.ndim - 1)))  # per out-channel
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def quantize_params(params: Any, subtrees=("double_blocks", "single_blocks")) -> Any:
+    """Convert Dense kernels under the given subtrees into QuantDense params
+    (kernel → kernel_q + kernel_scale). Biases and norms stay fp."""
+
+    def walk(node, inside):
+        if not isinstance(node, dict):
+            return node
+        if inside and "kernel" in node and getattr(node["kernel"], "ndim", 0) >= 2:
+            out = {k: v for k, v in node.items() if k != "kernel"}
+            kern = np.asarray(node["kernel"])
+            if kern.ndim == 2:
+                q, s = quantize_kernel(kern)
+            else:
+                # stacked scan kernels: quantize per layer
+                qs, ss = zip(*(quantize_kernel(kern[i]) for i in range(kern.shape[0])))
+                q, s = np.stack(qs), np.stack(ss)
+            out["kernel_q"] = jnp.asarray(q)
+            out["kernel_scale"] = jnp.asarray(s)
+            return out
+        return {
+            k: walk(v, inside or k in subtrees) for k, v in node.items()
+        }
+
+    return walk(params, False)
