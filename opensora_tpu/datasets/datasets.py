@@ -65,6 +65,8 @@ class TextDataset:
         out = {"text": self.texts[idx], "index": idx}
         if "ref" in self.data.columns and not pd.isna(row.get("ref")):
             out["ref"] = row["ref"]
+        if "neg" in self.data.columns and not pd.isna(row.get("neg")):
+            out["neg"] = row["neg"]
         return out
 
 

@@ -191,13 +191,24 @@ class MMDiTModel(nn.Module):
         self, img, img_ids, txt, txt_ids, timesteps, y_vec,
         cond=None, guidance=None,
     ):
+        from jax.sharding import PartitionSpec as P
+
+        from opensora_tpu.parallel.mesh import DATA_AXIS, SP_AXIS
+        from opensora_tpu.parallel.sharding import constrain
+
         img, txt, vec, pe = self.prepare_block_inputs(
             img, img_ids, txt, txt_ids, timesteps, y_vec, cond, guidance
         )
+        # pin the canonical layouts so GSPMD never invents a resharding:
+        # tokens (data, sp, ·), conditioning vector replicated over sp/tp
+        img = constrain(img, P(DATA_AXIS, SP_AXIS, None))
+        txt = constrain(txt, P(DATA_AXIS, SP_AXIS, None))
+        vec = constrain(vec, P(DATA_AXIS, None))
 
         (img, txt), _ = self.double_blocks((img, txt), vec, pe)
 
         x = jnp.concatenate([txt, img], axis=1)
+        x = constrain(x, P(DATA_AXIS, SP_AXIS, None))
         x, _ = self.single_blocks(x, vec, pe)
         img = x[:, txt.shape[1]:, ...]
 

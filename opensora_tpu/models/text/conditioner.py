@@ -104,10 +104,36 @@ class HFEmbedder:
             self.pad_token_id = 0
 
         if params is None:
+            params = self._try_load_pretrained(from_pretrained)
+        if params is None:
             dummy = jnp.zeros((1, 8), jnp.int32)
             params = self.module.init(jax.random.PRNGKey(rng_seed), dummy)
         self.params = params
         self._apply = jax.jit(lambda p, ids: self.module.apply(p, ids))
+
+    def _try_load_pretrained(self, from_pretrained: str):
+        """Load local HF torch weights through the converters in
+        utils/ckpt.py (T5EncoderModel / CLIPTextModel layouts). Returns None
+        when assets are unavailable (offline random-init fallback)."""
+        if not from_pretrained:
+            return None
+        try:
+            from opensora_tpu.utils.ckpt import (
+                convert_clip_text_state_dict,
+                convert_t5_state_dict,
+            )
+
+            if self.is_clip:
+                from transformers import CLIPTextModel as HFModel
+            else:
+                from transformers import T5EncoderModel as HFModel
+
+            hf = HFModel.from_pretrained(from_pretrained, local_files_only=True)
+            sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+            conv = convert_clip_text_state_dict if self.is_clip else convert_t5_state_dict
+            return {"params": conv(sd)}
+        except Exception:
+            return None
 
     def tokenize(self, text: List[str], max_length: Optional[int] = None) -> np.ndarray:
         max_length = max_length or self.max_length

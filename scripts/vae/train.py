@@ -83,14 +83,27 @@ def main():
 
     ckpt_io = CheckpointIO()
     timers = Timers()
+    host_rng = np.random.default_rng(cfg.get("seed", 42))
+    mixed_strategy = cfg.get("mixed_strategy")  # e.g. {"image_prob": 0.2}
     global_step = 0
     for epoch in range(cfg.get("epochs", 1)):
         sampler.set_epoch(epoch)
         for batch in dataloader:
+            video = np.asarray(batch["video"])
+            if mixed_strategy and video.shape[2] > 1:
+                # random temporal truncation / image-only batches
+                # (reference scripts/vae/train.py:377-388 mixed_strategy)
+                if host_rng.random() < mixed_strategy.get("image_prob", 0.0):
+                    video = video[:, :, :1]
+                elif mixed_strategy.get("random_truncate", False):
+                    tcr = getattr(ae.config, "time_compression_ratio", 4)
+                    choices = [t for t in range(1, video.shape[2] + 1)
+                               if t == 1 or (t - 1) % tcr == 0]
+                    video = video[:, :, : int(host_rng.choice(choices))]
             with timers("step"):
                 rng, r = jax.random.split(rng)
                 state, metrics = train_step(
-                    state, {"video": jnp.asarray(batch["video"])}, r
+                    state, {"video": jnp.asarray(video)}, r
                 )
             global_step += 1
             if global_step % cfg.get("log_every", 1) == 0:
