@@ -154,10 +154,27 @@ class AutoEncoder2D(nn.Module):
         self.encoder = Encoder2D(self.config)
         self.decoder = Decoder2D(self.config)
 
-    def encode(self, x, rng=None, sample_posterior=True, return_posterior=False):
-        """(B, C, H, W) → latent (B, z, H/8, W/8), scale/shift applied."""
+    @staticmethod
+    def _fold_t(x):
+        """(B, C, T, H, W) → ((B·T), C, H, W), like the reference's
+        rearrange in autoencoder_2d.py:269-291; 4D passes through."""
+        if x.ndim == 5:
+            b, c, t, h, w = x.shape
+            return x.transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w), t
+        return x, None
+
+    @staticmethod
+    def _unfold_t(x, t):
+        if t is None:
+            return x
+        bt, c, h, w = x.shape
+        return x.reshape(bt // t, t, c, h, w).transpose(0, 2, 1, 3, 4)
+
+    def encode(self, x, rng=None, sample_posterior=True, return_posterior=False, **_):
+        """(B, C, [T,] H, W) → latent, scale/shift applied."""
         from opensora_tpu.models.hunyuan_vae.model import DiagonalGaussianDistribution
 
+        x, t = self._fold_t(x)
         x_cl = jnp.transpose(x, (0, 2, 3, 1))
         moments = self.encoder(x_cl)
         posterior = DiagonalGaussianDistribution(moments, axis=-1)
@@ -168,16 +185,17 @@ class AutoEncoder2D(nn.Module):
         else:
             z = posterior.mode()
         z = self.config.scale_factor * (z - self.config.shift_factor)
-        z = jnp.transpose(z, (0, 3, 1, 2))
+        z = self._unfold_t(jnp.transpose(z, (0, 3, 1, 2)), t)
         if return_posterior:
             return z, posterior
         return z
 
-    def decode(self, z):
+    def decode(self, z, **_):
+        z, t = self._fold_t(z)
         z = z / self.config.scale_factor + self.config.shift_factor
         z_cl = jnp.transpose(z, (0, 2, 3, 1))
         dec = self.decoder(z_cl)
-        return jnp.transpose(dec, (0, 3, 1, 2))
+        return self._unfold_t(jnp.transpose(dec, (0, 3, 1, 2)), t)
 
     def __call__(self, x, rng=None, sample_posterior=True):
         z, posterior = self.encode(
