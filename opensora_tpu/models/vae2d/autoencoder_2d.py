@@ -46,7 +46,7 @@ class GroupNorm2D(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        return group_norm(x, self.num_groups, scale, bias, self.eps)
+        return group_norm(x, min(self.num_groups, c), scale, bias, self.eps)
 
 
 class ResnetBlock(nn.Module):

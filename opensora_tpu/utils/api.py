@@ -86,40 +86,56 @@ def prepare_models(
     model = load_model_bundle(model_module, cfg.model, rng=r_model, init=init_params, kind="mmdit")
     ae = load_model_bundle(ae_module, cfg.ae, rng=r_ae, init=init_params, kind=ae_kind)
 
-    if model.variables is None and init_params:
-        mcfg = model_module.config
-        B, L, Lt = 1, 8, 4
-        model.variables = model_module.init(
-            r_model,
-            jnp.zeros((B, L, mcfg.in_channels), jnp.float32),
-            jnp.zeros((B, L, 3)),
-            jnp.zeros((B, Lt, mcfg.context_in_dim), jnp.float32),
-            jnp.zeros((B, Lt, 3)),
-            jnp.zeros((B,)),
-            jnp.zeros((B, mcfg.vec_in_dim), jnp.float32),
-            jnp.zeros((B, L, mcfg.in_channels + mcfg.patch_size**2), jnp.float32)
-            if mcfg.cond_embed else None,
-            jnp.zeros((B,)) if mcfg.guidance_embed else None,
-        )
-    if ae.variables is None and init_params:
-        acfg = ae_module.config
-        if ae_kind == "vae2d":
-            x0 = jnp.zeros((1, acfg.in_channels, 32, 32), jnp.float32)
+    def _ensure_initialized(bundle, module, kind, rng_k):
+        """Random-init when no pretrained weights were loaded (dev configs)."""
+        if bundle.variables is not None or not init_params:
+            return bundle
+        if kind == "mmdit":
+            mcfg = module.config
+            B, L, Lt = 1, 8, 4
+            bundle.variables = module.init(
+                rng_k,
+                jnp.zeros((B, L, mcfg.in_channels), jnp.float32),
+                jnp.zeros((B, L, 3)),
+                jnp.zeros((B, Lt, mcfg.context_in_dim), jnp.float32),
+                jnp.zeros((B, Lt, 3)),
+                jnp.zeros((B,)),
+                jnp.zeros((B, mcfg.vec_in_dim), jnp.float32),
+                jnp.zeros((B, L, mcfg.in_channels + mcfg.patch_size**2), jnp.float32)
+                if mcfg.cond_embed else None,
+                jnp.zeros((B,)) if mcfg.guidance_embed else None,
+            )
         else:
-            tcr = getattr(acfg, "time_compression_ratio", 4)
-            scr = getattr(acfg, "spatial_compression_ratio", 8)
-            x0 = jnp.zeros((1, acfg.in_channels, tcr + 1, scr * 2, scr * 2), jnp.float32)
-        ae.variables = ae_module.init({"params": r_ae, "gaussian": r_ae}, x0)
+            acfg = module.config
+            if kind == "vae2d":
+                x0 = jnp.zeros((1, acfg.in_channels, 32, 32), jnp.float32)
+            else:
+                tcr = getattr(acfg, "time_compression_ratio", 4)
+                scr = getattr(acfg, "spatial_compression_ratio", 8)
+                x0 = jnp.zeros(
+                    (1, acfg.in_channels, tcr + 1, scr * 2, scr * 2), jnp.float32
+                )
+            bundle.variables = module.init({"params": rng_k, "gaussian": rng_k}, x0)
+        return bundle
+
+    model = _ensure_initialized(model, model_module, "mmdit", r_model)
+    ae = _ensure_initialized(ae, ae_module, ae_kind, r_ae)
 
     optional: Dict[str, Any] = {}
     if cfg.get("img_flux") is not None:
         img_flux_module = build_module(dict(cfg.img_flux), MODELS)
         img_flux_ae_module = build_module(dict(cfg.img_flux_ae), MODELS)
-        optional["img_flux"] = load_model_bundle(
-            img_flux_module, cfg.img_flux, rng=r_misc, init=init_params, kind="mmdit"
+        optional["img_flux"] = _ensure_initialized(
+            load_model_bundle(
+                img_flux_module, cfg.img_flux, rng=r_misc, init=init_params, kind="mmdit"
+            ),
+            img_flux_module, "mmdit", r_misc,
         )
-        optional["img_flux_ae"] = load_model_bundle(
-            img_flux_ae_module, cfg.img_flux_ae, rng=r_misc, init=init_params, kind="vae2d"
+        optional["img_flux_ae"] = _ensure_initialized(
+            load_model_bundle(
+                img_flux_ae_module, cfg.img_flux_ae, rng=r_misc, init=init_params, kind="vae2d"
+            ),
+            img_flux_ae_module, "vae2d", r_misc,
         )
     return model, ae, t5, clip, optional
 
@@ -272,7 +288,7 @@ def prepare_api(
         x = x[:, :, : opt.num_frames]
 
         if not opt.is_causal_vae:
-            pad_len = model_ae.module.config.time_compression_ratio - 1
+            pad_len = getattr(model_ae.module.config, "time_compression_ratio", 1) - 1
             if cond_type == "i2v_head":
                 x = x[:, :, pad_len:]
             elif cond_type == "i2v_tail":

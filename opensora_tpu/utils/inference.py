@@ -173,6 +173,7 @@ def save_sample(
     datasets/utils.py:202-234; cv2 replaces pyav for encode)."""
     import cv2
 
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
     x = np.asarray(x, np.float32)
     x = np.clip((x + 1) / 2, 0, 1)
     x = (x * 255).astype(np.uint8)

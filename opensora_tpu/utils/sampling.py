@@ -379,8 +379,10 @@ class DistilledDenoiser(Denoiser):
     ) -> jnp.ndarray:
         num_steps = timesteps.shape[0] - 1
         guidance_vec = jnp.full((img.shape[0],), guidance, dtype=img.dtype)
-        model_kwargs.pop("masks", None)
-        model_kwargs.pop("masked_ref", None)
+        for k in ("masks", "masked_ref", "text_osci", "image_osci",
+                  "scale_temporal_osci", "patch_size", "guidance_img",
+                  "sigma_min"):
+            model_kwargs.pop(k, None)
 
         def step(x, inp):
             t_curr, t_prev = inp
