@@ -54,7 +54,12 @@ def main():
     ae_vars = ae.init({"params": rng, "gaussian": rng}, x0)
     # TODO(real weights): load via opensora_tpu.utils.ckpt.load_checkpoint
 
-    fwd = jax.jit(lambda x, r: ae.apply(ae_vars, x, rngs={"gaussian": r}))
+    # the posterior object is host-side only; jit returns arrays
+    def _fwd(x, r):
+        x_rec, _, z = ae.apply(ae_vars, x, rngs={"gaussian": r})
+        return x_rec, z
+
+    fwd = jax.jit(_fwd)
 
     save_dir = cfg.get("save_dir", "samples/vae")
     os.makedirs(save_dir, exist_ok=True)
@@ -62,7 +67,7 @@ def main():
     for i, batch in enumerate(dataloader):
         x = jnp.asarray(batch["video"])
         rng, r = jax.random.split(rng)
-        x_rec, posterior, z = fwd(x, r)
+        x_rec, z = fwd(x, r)
         x_np, rec_np = np.asarray(x), np.asarray(x_rec)
         p = psnr(x_np, np.clip(rec_np, -1, 1))
         psnrs.append(p)

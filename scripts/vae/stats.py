@@ -25,6 +25,10 @@ def main():
 
     cfg = parse_configs()
     logger = create_logger()
+    # eval_setting "TxS" → single bucket (same as scripts/vae/inference.py)
+    if cfg.get("eval_setting") and not cfg.get("bucket_config"):
+        t, sz = (int(v) for v in cfg.eval_setting.split("x"))
+        cfg["bucket_config"] = {f"{sz}px": {t: (1.0, cfg.get("batch_size", 1))}}
     dataset = build_module(dict(cfg.dataset), DATASETS)
     dataloader, _ = prepare_dataloader(
         dataset, bucket_config=cfg.get("bucket_config"),
