@@ -10,16 +10,21 @@ in 60 s on one H100 with TP + CPU offload (BASELINE.md / README.md:281-288)
 → 0.833 denoise steps/s, where one step = one MMDiT forward over the 3-way
 CFG batch (cond / uncond-text / uncond-all).
 
+The measured shape matches the reference's default generation exactly:
+129 frames, 256px, 16:9 → 192×336 px → latent (33, 24, 42) → 8316 img
+tokens + 512 txt tokens, 3-way CFG batch.
+
 Here the FULL 11B architecture (19 double + 38 single blocks, hidden 3072,
 24 heads, Pallas flash attention, bf16 activations) runs on ONE v5e chip
 with int8 weight-only quantized blocks (opensora_tpu/ops/quant.py — 11.2 GiB
-of weights, no TP, no offload). Weight values are zeros (throughput is
-weight-value independent); per-step time is measured with differential
-timing because block_until_ready is a no-op on tunneled platforms
-(NOTES_r1.md).
+of weights, no TP, no offload — the reference needs both on one GPU).
+Weight values are zeros (throughput is weight-value independent); per-step
+time is measured with differential timing because block_until_ready is a
+no-op on tunneled platforms (NOTES_r1.md).
 
-Cross-check: the bf16 reduced-depth measurement extrapolated by block FLOPs
-predicted 0.95 steps/s; the measured full int8 model delivers ~0.96.
+detail.flops_normalized_vs_h100 additionally scales by the chips' bf16 peak
+ratio (H100 989 / v5e 197 TFLOP/s) — the implementation-efficiency
+comparison at equal silicon.
 """
 
 import json
@@ -41,8 +46,8 @@ def main():
     from opensora_tpu.models.mmdit.model import MMDiTConfig, MMDiTModel
     from opensora_tpu.utils.sampling import build_img_ids
 
-    # 256px, 33 pixel frames → 9 latent frames, latent 32×32, patch 2
-    latent_t, latent_h, latent_w, txt_len = 9, 32, 32, 512
+    # reference default: 256px 16:9 129f → latent (33, 24, 42), patch 2
+    latent_t, latent_h, latent_w, txt_len = 33, 24, 42, 512
     B = 3  # CFG triple
 
     cfg = MMDiTConfig(
@@ -96,16 +101,20 @@ def main():
 
     baseline_steps_per_sec = 50.0 / 60.0  # 1×H100, reference README.md:281-288
     steps_per_sec = 1.0 / dt
+    peak_ratio = 989.0 / 197.0  # H100 : v5e bf16 peak
     print(json.dumps({
-        "metric": "mmdit_11b_256px_denoise_steps_per_sec_single_chip",
+        "metric": "mmdit_11b_256px_129f_denoise_steps_per_sec_single_chip",
         "value": round(steps_per_sec, 4),
-        "unit": "steps/s/chip (full 19+38 blocks, int8 weights, bf16 compute)",
+        "unit": "steps/s/chip (full 19+38 blocks, 129f ref shape, int8 weights)",
         "vs_baseline": round(steps_per_sec / baseline_steps_per_sec, 4),
         "detail": {
             "step_time_s": round(dt, 4),
+            "est_50step_e2e_s": round(50 * dt, 1),
             "params_gib": round(nbytes / 2**30, 2),
-            "bf16_extrapolated_steps_per_sec": 0.95,
-            "bf16_measured_tflops_per_s": 154.0,
+            "flops_normalized_vs_h100": round(
+                steps_per_sec * peak_ratio / baseline_steps_per_sec, 3
+            ),
+            "tokens": 3 * (33 * 12 * 21 + 512),
         },
     }))
 

@@ -290,8 +290,41 @@ def _dq_kernel(
         dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
+def partial_flash_backward(
+    q, k, v, do, lse, delta,
+    *, sm_scale=None, block_q=None, block_k=None, causal_block=None,
+    interpret=False,
+):
+    """(dq, dk, dv) partials given an externally-computed global LSE and
+    delta = rowsum(do·out). This is the ring-attention building block: each
+    ring step calls it with the local q/do and the visiting kv shard
+    (reference bwd ring, distributed.py:316-373)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2])
+    return _flash_backward_impl(
+        q, k, v, lse, do, delta,
+        sm_scale=sm_scale, block_q=block_q or auto_bq,
+        block_k=block_k or auto_bk, causal_block=causal_block,
+        interpret=interpret,
+    )
+
+
 def _flash_backward(
     q, k, v, out, lse, do,
+    *, sm_scale, block_q, block_k, causal_block, interpret=False,
+):
+    # delta = rowsum(do * o) — cheap, let XLA fuse it.
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    return _flash_backward_impl(
+        q, k, v, lse, do, delta,
+        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        causal_block=causal_block, interpret=interpret,
+    )
+
+
+def _flash_backward_impl(
+    q, k, v, lse, do, delta,
     *, sm_scale, block_q, block_k, causal_block, interpret=False,
 ):
     batch, heads, q_len, dim = q.shape
@@ -301,8 +334,6 @@ def _flash_backward(
     nq = pl.cdiv(q_len, block_q)
     nk = pl.cdiv(kv_len, block_k)
 
-    # delta = rowsum(do * o) — cheap, let XLA fuse it.
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     lse4 = lse[..., None]
     delta4 = delta[..., None]
 

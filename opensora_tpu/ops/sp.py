@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from opensora_tpu.ops.flash_attention import flash_attention_with_lse
+from opensora_tpu.ops.flash_attention import (
+    flash_attention_with_lse,
+    partial_flash_backward,
+)
 from opensora_tpu.parallel.mesh import DATA_AXIS, SP_AXIS
 
 
@@ -101,9 +104,9 @@ def ring_attention(
     Differentiable: the backward pass mirrors the reference's bwd ring
     (distributed.py:316-373) — dk/dv accumulators travel WITH the rotating
     KV blocks and arrive home after a full circle, while dq accumulates
-    locally from the stored global LSE. Gradient partials are jnp einsums
-    for now (Pallas partial-bwd kernels are the planned upgrade); the
-    forward uses the Pallas flash kernel when available."""
+    locally from the stored global LSE. Both passes use the Pallas flash
+    kernels on TPU (partial_flash_backward per ring step); einsum reference
+    math on other backends."""
     sp = mesh.shape[SP_AXIS]
     spec = P(DATA_AXIS, SP_AXIS, None, None)
     perm = [(i, (i + 1) % sp) for i in range(sp)]
@@ -156,22 +159,39 @@ def ring_attention(
         o, lse = _fwd_scan(qh, kh, vh)
         return o.astype(qh.dtype), (qh, kh, vh, o, lse)
 
+    def _bwd_partial(qh, k_cur, v_cur, do, lse, delta):
+        """Per-ring-step gradient partials; Pallas kernels on TPU, einsum
+        reference elsewhere."""
+        if backend in (None, "pallas", "pallas_interpret"):
+            dq_i, dk_i, dv_i = partial_flash_backward(
+                qh, k_cur, v_cur, do.astype(qh.dtype), lse, delta,
+                interpret=(backend == "pallas_interpret"),
+            )
+            return (
+                dq_i.astype(jnp.float32),
+                dk_i.astype(jnp.float32),
+                dv_i.astype(jnp.float32),
+            )
+        scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
+        qf = qh.astype(jnp.float32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32)) * scale
+        p = jnp.exp(s - lse[..., None])
+        dv_i = jnp.einsum("bhqk,bhqd->bhkd", p, do)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", do, v_cur.astype(jnp.float32))
+        ds = p * (dp - delta[..., None]) * scale
+        dq_i = jnp.einsum("bhqk,bhkd->bhqd", ds, k_cur.astype(jnp.float32))
+        dk_i = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+        return dq_i, dk_i, dv_i
+
     def _ring_bwd(res, g):
         qh, kh, vh, o, lse = res
         do = g.astype(jnp.float32)
         delta = jnp.sum(do * o, axis=-1)  # (B, H, Lq)
-        scale = 1.0 / jnp.sqrt(jnp.float32(qh.shape[-1]))
-        qf = qh.astype(jnp.float32)
 
         def step(carry, _):
             dq_acc, k_cur, v_cur, dk_acc, dv_acc = carry
-            s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32)) * scale
-            p = jnp.exp(s - lse[..., None])
-            dv_i = jnp.einsum("bhqk,bhqd->bhkd", p, do)
-            dp = jnp.einsum("bhqd,bhkd->bhqk", do, v_cur.astype(jnp.float32))
-            ds = p * (dp - delta[..., None]) * scale
-            dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, k_cur.astype(jnp.float32))
-            dk_i = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+            dq_i, dk_i, dv_i = _bwd_partial(qh, k_cur, v_cur, do, lse, delta)
+            dq_acc = dq_acc + dq_i
             # rotate kv AND its gradient accumulators together: after a full
             # circle the accumulated dk/dv land back on the owning rank
             k_cur = jax.lax.ppermute(k_cur, SP_AXIS, perm)
