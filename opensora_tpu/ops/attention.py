@@ -54,10 +54,11 @@ def scaled_dot_product_attention(
     if backend is None:
         backend = "pallas" if _on_tpu() else "xla"
     if backend == "pallas":
-        # Mosaic tiling wants ≥(8,128) blocks; tiny sequences (e.g. toy VAE
-        # latents) and odd head dims take the XLA path instead
+        # tiny sequences (e.g. toy VAE latents) and odd head dims take the
+        # XLA path; arbitrary lengths are fine for the kernel (tail blocks
+        # are masked + zero-filled in-kernel)
         l_q, l_k, d = q.shape[2], k.shape[2], q.shape[-1]
-        if min(l_q, l_k) < 128 or l_q % 8 or l_k % 8 or d % 128:
+        if min(l_q, l_k) < 128 or d % 128:
             return xla_attention(q, k, v, causal_block=causal_block)
         return flash_attention(q, k, v, causal_block=causal_block)
     if backend == "pallas_interpret":
