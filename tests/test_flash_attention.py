@@ -65,3 +65,14 @@ def test_tail_block_no_nan():
     )(q, k, v)
     for x in g:
         assert not bool(jnp.isnan(x).any())
+
+
+def test_odd_length_above_dispatch_threshold():
+    """Lengths ≥128 that are not multiples of 8 must run through the kernel
+    (regression: an over-conservative dispatcher gate once fell back to the
+    O(L²) XLA path at the 129-frame reference shape, 8828 tokens)."""
+    B, H, L, D = 1, 1, 260, 128
+    q, k, v = (_rand((B, H, L, D), s) for s in range(3))
+    out = flash_attention(q, k, v, interpret=True)  # pick_blocks path
+    ref = xla_attention(q, k, v)
+    assert jnp.abs(out - ref).max() < 5e-3
