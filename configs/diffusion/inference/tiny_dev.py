@@ -14,6 +14,7 @@ sampling_option = dict(
     guidance=4.0,
     guidance_img=1.0,
     is_causal_vae=True,
+    temporal_reduction=4,  # match the hunyuan VAE's time compression
     method="i2v",
     seed=0,
 )

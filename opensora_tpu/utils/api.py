@@ -9,6 +9,7 @@ executable.
 
 from __future__ import annotations
 
+import logging
 import random as pyrandom
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
@@ -169,15 +170,43 @@ def prepare_api(
         }
     denoise_cache: Dict[Any, Callable] = {}
 
-    ae_encode = jax.jit(
+    _ae_encode_jit = jax.jit(
         lambda x, rng: model_ae.apply(
             x, rngs={"gaussian": rng},
             method=type(model_ae.module).encode,
         )
     )
-    ae_decode = jax.jit(
+    _ae_decode_jit = jax.jit(
         lambda z: model_ae.apply(z, method=type(model_ae.module).decode)
     )
+
+    # Large inputs on the 3D causal VAE must tile at HOST level: jitting the
+    # whole tiled decode fuses every tile into one executable and OOMs HBM at
+    # 768px (models/hunyuan_vae/tiled.py). Small shapes keep the single-graph
+    # jitted path.
+    _tiled_runner = None
+    from opensora_tpu.models.hunyuan_vae.model import AutoencoderKLCausal3D
+
+    if isinstance(model_ae.module, AutoencoderKLCausal3D):
+        from opensora_tpu.models.hunyuan_vae.tiled import TiledVAERunner
+
+        _tiled_runner = TiledVAERunner(model_ae.module, model_ae.variables)
+
+    def ae_encode(x, rng):
+        if _tiled_runner is not None and _tiled_runner.needs_tiling_sample(x.shape):
+            logging.getLogger(__name__).info(
+                "[ae] host-tiled encode for %s", x.shape
+            )
+            return _tiled_runner.encode(x, rng=rng, sample_posterior=True)
+        return _ae_encode_jit(x, rng)
+
+    def ae_decode(z):
+        if _tiled_runner is not None and _tiled_runner.needs_tiling(z.shape):
+            logging.getLogger(__name__).info(
+                "[ae] host-tiled decode for %s", z.shape
+            )
+            return _tiled_runner.decode(z)
+        return _ae_decode_jit(z)
 
     def _get_denoise_fn(denoiser, static_key, static_kwargs):
         if static_key not in denoise_cache:

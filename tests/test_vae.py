@@ -73,6 +73,43 @@ def test_diagonal_gaussian():
     assert np.allclose(np.asarray(det.sample(rng)), np.asarray(det.mean))
 
 
+def test_host_tiled_runner_matches_module_tiling():
+    """TiledVAERunner (host loop + jitted per-tile core, models/hunyuan_vae/
+    tiled.py) must be numerically identical to the module's in-graph tiled
+    paths — it exists only to cap peak HBM (one tile live, not all fused)."""
+    from opensora_tpu.models.hunyuan_vae.tiled import TiledVAERunner
+
+    cfg = AutoEncoder3DConfig(
+        block_out_channels=(4, 8, 8, 8), latent_channels=4,
+        norm_num_groups=4, layers_per_block=1, dtype="fp32",
+        sample_size=16, sample_tsize=8,
+        use_spatial_tiling=True, use_temporal_tiling=True,
+    )
+    vae = AutoencoderKLCausal3D(cfg)
+    x = jnp.zeros((1, 3, 9, 24, 24))  # > tsize 8 and > sample 16 → both tiled
+    params = vae.init(
+        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)}, x
+    )
+    runner = TiledVAERunner(vae, params)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 9, 24, 24))
+    z_mod = vae.apply(
+        params, x, sample_posterior=False, method=AutoencoderKLCausal3D.encode
+    )
+    z_run = runner.encode(x, sample_posterior=False)
+    assert runner.needs_tiling_sample(x.shape) and runner.needs_tiling(z_run.shape)
+    np.testing.assert_allclose(np.asarray(z_run), np.asarray(z_mod), atol=1e-5)
+
+    # NOTE: at toy geometry the tiled decode overshoots the input extent in
+    # BOTH implementations (tail tiles each contribute `limit` px); at
+    # production sizes (256px tiles / 768px frames) tiles divide exactly.
+    # Parity — identical shape and values — is what matters here.
+    dec_mod = vae.apply(params, z_mod, method=AutoencoderKLCausal3D.decode)
+    dec_run = runner.decode(z_run)
+    assert dec_run.shape == dec_mod.shape
+    np.testing.assert_allclose(np.asarray(dec_run), np.asarray(dec_mod), atol=1e-4)
+
+
 def test_dc_ae_shapes():
     cfg = DCAEConfig(
         width_list=(8, 8, 16, 16, 16, 16),
