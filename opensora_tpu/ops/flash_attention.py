@@ -41,11 +41,23 @@ DEFAULT_BLOCK_K = 1024
 
 
 def pick_blocks(q_len: int, kv_len: int) -> tuple[int, int]:
-    """Static block-size heuristic, measured on v5e (bench.py):
-    (512, 1024) hit 154 TFLOP/s at ~3k tokens; (2048,·) regressed compile.
-    Shorter sequences shrink blocks so the grid still has parallelism."""
-    bq = 512 if q_len >= 1024 else 256
-    bk = 1024 if kv_len >= 2048 else 512
+    """Static block-size heuristic, measured on v5e (NOTES_r1.md sweep):
+    bk=1536 beats 1024 at every length tried (L=2816: 91 vs 84 TFLOP/s;
+    L=8828: 112 vs 92); bq=768 edges out 512 only for long sequences.
+    block_k=2048 hangs the Mosaic compiler >1h — never use it. Shorter
+    sequences shrink blocks so the grid still has parallelism."""
+    if q_len >= 8192:
+        bq = 768
+    elif q_len >= 1024:
+        bq = 512
+    else:
+        bq = 256
+    if kv_len >= 2560:
+        bk = 1536
+    elif kv_len >= 2048:
+        bk = 1024
+    else:
+        bk = 512
     return min(bq, q_len), min(bk, kv_len)
 
 
