@@ -11,13 +11,27 @@ import sys
 import time
 
 
+def block_flops(hidden: int, mlp_ratio: float, n_tokens: int, depth_double: int, depth_single: int) -> float:
+    """Per-forward FLOPs of the block stacks for batch 1 (x2 for MACs)."""
+    d = hidden
+    mlp = int(hidden * mlp_ratio)
+    # double block: img+txt each (qkv 3d^2 + proj d^2 + mlp 2*d*mlp) + joint attn
+    lin_double = 2 * (3 * d * d + d * d + 2 * d * mlp)
+    # single block: linear1 (3d^2+d*mlp) + linear2 ((d+mlp)*d)
+    lin_single = (3 * d * d + d * mlp) + (d + mlp) * d
+    attn = 2 * n_tokens * d  # per token: qk^T + pv over full seq
+    per_tok_double = 2 * (lin_double + attn)
+    per_tok_single = 2 * (lin_single + attn)
+    return n_tokens * (per_tok_double * depth_double + per_tok_single * depth_single)
+
+
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
-    from bench import block_flops
-
     from opensora_tpu.models.mmdit.model import MMDiTConfig, MMDiTModel
     from opensora_tpu.training.diffusion import TrainState, make_train_step
     from opensora_tpu.utils.optimizer import create_optimizer
