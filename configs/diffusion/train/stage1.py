@@ -49,6 +49,7 @@ model = dict(
     guidance_embed=False,
     cond_embed=True,
     remat=True,
+    remat_policy="dots",  # 6% faster than "full" at equal feasibility (NOTES_r1.md)
     dtype="bf16",
 )
 

@@ -313,6 +313,9 @@ class CheckpointIO:
         keep_n_latest: int = -1,
         async_io: bool = True,
     ) -> str:
+        # orbax/tensorstore rejects relative paths; configs commonly use
+        # relative save dirs ("outputs/...")
+        exp_dir = os.path.abspath(exp_dir)
         d = os.path.join(exp_dir, f"epoch{epoch}-global_step{global_step}")
         os.makedirs(d, exist_ok=True)
         self._ckpt.save(os.path.join(d, "state"), state, force=True)
@@ -334,6 +337,7 @@ class CheckpointIO:
         self._ckpt.wait_until_finished()
 
     def load(self, path: str, state_template):
+        path = os.path.abspath(path)
         state = self._ckpt.restore(os.path.join(path, "state"), state_template)
         running = {"epoch": 0, "step": 0, "global_step": 0}
         rs = os.path.join(path, "running_states.json")

@@ -45,7 +45,7 @@ def main():
         in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
         mlp_ratio=4.0, num_heads=24, depth=depth, depth_single_blocks=depth_single,
         axes_dim=[16, 56, 56], qkv_bias=True, guidance_embed=True, cond_embed=True,
-        dtype="bf16", param_dtype="bf16", remat=True,
+        dtype="bf16", param_dtype="bf16", remat=True, remat_policy="dots",
     )
     model = MMDiTModel(cfg)
 
