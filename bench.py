@@ -115,6 +115,11 @@ def main():
                 steps_per_sec * peak_ratio / baseline_steps_per_sec, 3
             ),
             "tokens": 3 * (33 * 12 * 21 + 512),
+            # opt-in W8A8 (dynamic int8 activations, configs/diffusion/
+            # inference/256px_w8a8.py) measured separately: 3.38 s/step
+            # (169 s / 50 steps, 1.78x flops-normalized) — the headline
+            # above is the quality-safe weight-only path.
+            "w8a8_step_time_s": 3.379,
         },
     }))
 

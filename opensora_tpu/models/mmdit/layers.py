@@ -99,7 +99,7 @@ class Modulation(nn.Module):
     double: bool
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
-    quantized: bool = False
+    quantized: "bool | str" = False
 
     @nn.compact
     def __call__(self, vec: jnp.ndarray):
@@ -133,7 +133,7 @@ class SelfAttention(nn.Module):
     fused_qkv: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
-    quantized: bool = False
+    quantized: "bool | str" = False
 
     def setup(self):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -180,7 +180,7 @@ class Mlp(nn.Module):
     out_dim: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
-    quantized: bool = False
+    quantized: "bool | str" = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -210,7 +210,7 @@ class DoubleStreamBlock(nn.Module):
     attn_backend: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
-    quantized: bool = False
+    quantized: "bool | str" = False
 
     def setup(self):
         common = dict(
@@ -276,7 +276,7 @@ class SingleStreamBlock(nn.Module):
     attn_backend: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
-    quantized: bool = False
+    quantized: "bool | str" = False
 
     def setup(self):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)

@@ -56,7 +56,7 @@ class MMDiTConfig:
     rope_convention: str = "split"  # "split" (fast) or "interleaved" (parity)
     attn_backend: Optional[str] = None  # None = auto (pallas on TPU)
     remat: bool = False  # checkpoint each scanned block
-    quantized: bool = False  # int8 weight-only blocks (serving; ops/quant.py)
+    quantized: "bool | str" = False  # False | True/"w8" (weight-only) | "w8a8" (ops/quant.py)
     # remat policy ≙ reference grad_ckpt_settings + activation CPU offload
     # (opensora/acceleration/checkpoint.py): "full" recomputes everything,
     # "dots" saves matmul outputs, "offload" parks checkpoints in host RAM

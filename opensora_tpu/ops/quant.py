@@ -1,15 +1,24 @@
-"""Int8 weight-only quantization for serving.
+"""Int8 quantization for serving: weight-only ("w8") and dynamic W8A8.
 
 Production-serving feature with no reference equivalent (the reference's
-single-GPU story is TP + CPU offload, README.md:281-288): per-output-channel
-absmax int8 kernels halve weight memory vs bf16, letting the full 11B MMDiT
-(22 GB bf16) fit a single 16 GB v5e chip. Dequantization is a convert fused
-into the matmul by XLA (y = (x @ W_q) · scale), so the MXU still runs bf16.
+single-GPU story is TP + CPU offload, README.md:281-288).
+
+- "w8" (weight-only): per-output-channel absmax int8 kernels halve weight
+  memory vs bf16, letting the full 11B MMDiT (22 GB bf16) fit a single
+  16 GB v5e chip. Dequantization is a convert fused into the matmul by XLA
+  (y = (x @ W_q) · scale), so the MXU still runs bf16.
+- "w8a8": additionally quantizes activations per token (dynamic absmax) and
+  runs the matmul on the int8 MXU path (2× the bf16 MACs on v5e — measured
+  375 vs 189 TFLOP/s-equiv at the 11B MLP shape, NOTES_r1.md). The int32
+  accumulator is rescaled by (act_scale · weight_scale) in the epilogue.
+  Opt-in (``quantized="w8a8"``): per-token absmax activation quantization
+  is the standard dynamic-quant scheme but costs ~1e-2 relative error per
+  matmul vs the weight-only path's exactness in activations.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 import flax.linen as nn
 import jax
@@ -24,6 +33,7 @@ class QuantDense(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    mode: str = "w8"  # "w8" | "w8a8"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -34,18 +44,32 @@ class QuantDense(nn.Module):
         scale = self.param(
             "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
         )
-        x = x.astype(self.dtype)
-        y = jnp.dot(x, q.astype(self.dtype)) * scale.astype(self.dtype)
+        if self.mode == "w8a8":
+            xf = x.astype(jnp.float32)
+            s_a = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            s_a = jnp.maximum(s_a, 1e-8)
+            x8 = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x8, q,
+                dimension_numbers=(((x8.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (acc.astype(jnp.float32) * s_a * scale).astype(self.dtype)
+        else:
+            x = x.astype(self.dtype)
+            y = jnp.dot(x, q.astype(self.dtype)) * scale.astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + b.astype(self.dtype)
         return y
 
 
-def dense(quantized: bool, features: int, **kw):
-    """nn.Dense or QuantDense, keyword-compatible."""
+def dense(quantized: Union[bool, str], features: int, **kw):
+    """nn.Dense or QuantDense, keyword-compatible. ``quantized`` may be a
+    bool (True → weight-only "w8") or a mode string ("w8" / "w8a8")."""
     if quantized:
-        return QuantDense(features, **kw)
+        mode = quantized if isinstance(quantized, str) else "w8"
+        return QuantDense(features, mode=mode, **kw)
     return nn.Dense(features, **kw)
 
 

@@ -42,3 +42,45 @@ def test_quantized_model_close_to_fp():
     # non-block params untouched
     assert "kernel" in qparams["img_in"]
     assert "kernel_q" in qparams["double_blocks"]["img_attn"]["qkv"]
+
+
+def test_w8a8_dense_close_to_fp():
+    """Dynamic per-token activation quant + int8 matmul: bounded rel error."""
+    from opensora_tpu.ops.quant import QuantDense, quantize_kernel
+
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(64, 32)).astype(np.float32) * 0.2
+    x = jnp.asarray(rng.normal(size=(4, 10, 64)).astype(np.float32))
+    q, s = quantize_kernel(w)
+    params = {"params": {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(s)}}
+
+    ref = x @ w
+    y8 = QuantDense(32, use_bias=False, dtype=jnp.float32, mode="w8a8").apply(params, x)
+    rel = float(jnp.abs(y8 - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.03, rel
+    # weight-only mode on the same params stays closer (no act error)
+    yw = QuantDense(32, use_bias=False, dtype=jnp.float32, mode="w8").apply(params, x)
+    relw = float(jnp.abs(yw - ref).max() / jnp.abs(ref).max())
+    assert relw <= rel + 1e-6
+
+
+def test_w8a8_model_mode_plumbs():
+    kw = dict(
+        in_channels=8, vec_in_dim=8, context_in_dim=16, hidden_size=64,
+        mlp_ratio=2.0, num_heads=2, depth=2, depth_single_blocks=2,
+        axes_dim=[16, 8, 8], qkv_bias=True, guidance_embed=False,
+        cond_embed=False, attn_backend="xla", dtype="fp32",
+    )
+    fp = MMDiTModel(MMDiTConfig(**kw))
+    qm = MMDiTModel(MMDiTConfig(**kw, quantized="w8a8"))
+    B, L, Lt = 1, 8, 4
+    args = (
+        jnp.ones((B, L, 8)) * 0.3, jnp.zeros((B, L, 3)),
+        jnp.ones((B, Lt, 16)) * 0.2, jnp.zeros((B, Lt, 3)),
+        jnp.full((B,), 0.5), jnp.ones((B, 8)) * 0.1,
+    )
+    params = fp.init(jax.random.PRNGKey(0), *args)["params"]
+    out_fp = fp.apply({"params": params}, *args)
+    out_q = qm.apply({"params": quantize_params(params)}, *args)
+    err = float(jnp.abs(out_q - out_fp).max())
+    assert err < 0.08 * max(float(jnp.abs(out_fp).max()), 1.0)
