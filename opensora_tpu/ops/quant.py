@@ -55,6 +55,28 @@ class QuantDense(nn.Module):
                 preferred_element_type=jnp.int32,
             )
             y = (acc.astype(jnp.float32) * s_a * scale).astype(self.dtype)
+        elif self.mode == "w8a8_pallas":
+            # fused Pallas kernel (ops/int8_matmul.py): the int32 accumulator
+            # stays in VMEM, only the rescaled bf16 tile hits HBM. ~16% lower
+            # TOPS than the XLA int8 path (297 vs 354 measured) but removes
+            # the int32 HBM buffer — use when memory is the binding
+            # constraint (long-sequence 768px serving, NOTES_r1.md add. 6).
+            from opensora_tpu.ops.int8_matmul import w8a8_matmul
+
+            xf = x.astype(jnp.float32)
+            s_a = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            s_a = jnp.maximum(s_a, 1e-8)
+            x8 = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+            assert in_f % 512 == 0, "w8a8_pallas requires K % 512 == 0"
+            lead = x8.shape[:-1]
+            y = w8a8_matmul(
+                x8.reshape(-1, in_f), q,
+                s_a.reshape(-1, 1), scale,
+                block_m=512, block_n=1024,
+                block_k=512 if in_f % 1024 else 1024,
+                out_dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(*lead, self.features)
         else:
             x = x.astype(self.dtype)
             y = jnp.dot(x, q.astype(self.dtype)) * scale.astype(self.dtype)

@@ -84,3 +84,36 @@ def test_w8a8_model_mode_plumbs():
     out_q = qm.apply({"params": quantize_params(params)}, *args)
     err = float(jnp.abs(out_q - out_fp).max())
     assert err < 0.08 * max(float(jnp.abs(out_fp).max()), 1.0)
+
+
+def test_w8a8_pallas_kernel_matches_xla():
+    """Fused int8 matmul kernel (interpret mode) == XLA int8 dot + rescale,
+    including a non-block-aligned M tail."""
+    from opensora_tpu.ops.int8_matmul import w8a8_matmul
+
+    rng = np.random.default_rng(2)
+    M, K, N = 300, 1024, 512
+    x8 = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    w8 = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    sa = jnp.asarray(rng.random((M, 1)) * 0.01 + 0.001, jnp.float32)
+    sw = jnp.asarray(rng.random((N,)) * 0.01 + 0.001, jnp.float32)
+    out = w8a8_matmul(
+        x8, w8, sa, sw, block_m=256, block_n=256, block_k=512, interpret=True
+    ).astype(jnp.float32)
+    ref = (x8.astype(jnp.int32) @ w8.astype(jnp.int32)).astype(jnp.float32) * sa * sw
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 5e-3 and not bool(jnp.isnan(out).any())
+
+
+def test_w8a8_pallas_dense_mode():
+    from opensora_tpu.ops.quant import QuantDense, quantize_kernel
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(512, 128)).astype(np.float32) * 0.2
+    x = jnp.asarray(rng.normal(size=(2, 7, 512)).astype(np.float32))
+    q, s = quantize_kernel(w)
+    params = {"params": {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(s)}}
+    ref = x @ w
+    y = QuantDense(128, use_bias=False, dtype=jnp.float32, mode="w8a8_pallas").apply(params, x)
+    rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.03, rel
