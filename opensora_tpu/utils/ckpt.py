@@ -278,6 +278,13 @@ def load_model_bundle(module, model_cfg, rng, init: bool = True, kind: str = "mm
         pretrained = model_cfg.get("from_pretrained")
     if pretrained:
         variables = load_checkpoint(module, pretrained, kind=kind)
+        if kind == "mmdit" and isinstance(model_cfg, dict) and model_cfg.get("quantized"):
+            # quantized configs (256px_int8 / 256px_w8a8) expect QuantDense
+            # params: convert block Dense kernels to int8 + scales at load
+            from opensora_tpu.ops.quant import quantize_params
+
+            variables = dict(variables)
+            variables["params"] = quantize_params(variables["params"])
         return ModelBundle(module, variables)
     return ModelBundle(module, None)
 

@@ -114,3 +114,44 @@ def test_convert_and_rope_convention_equivalence():
 
     # the two conventions are the same model
     assert np.abs(np.asarray(outs["split"]) - np.asarray(outs["interleaved"])).max() < 1e-4
+
+
+def test_quantized_load_path(tmp_path):
+    """from_pretrained + quantized config: fp torch weights are converted to
+    QuantDense params at load (utils/ckpt.py::load_model_bundle) and the
+    model applies."""
+    from safetensors.numpy import save_file
+
+    from opensora_tpu.utils.ckpt import load_model_bundle
+
+    rng = np.random.default_rng(7)
+    sd = _make_torch_sd(rng)
+    f = str(tmp_path / "tiny_mmdit.safetensors")
+    save_file(sd, f)
+
+    cfg = MMDiTConfig(
+        in_channels=INC, vec_in_dim=VEC, context_in_dim=CTX, hidden_size=H,
+        mlp_ratio=2.0, num_heads=HEADS, depth=DEPTH, depth_single_blocks=DEPTH_S,
+        axes_dim=[8, 4, 4], qkv_bias=True, guidance_embed=True, cond_embed=True,
+        attn_backend="xla", dtype="fp32", quantized=True,
+    )
+    module = MMDiTModel(cfg)
+    bundle = load_model_bundle(
+        module, {"from_pretrained": f, "quantized": True},
+        rng=jax.random.PRNGKey(0), kind="mmdit",
+    )
+    assert "kernel_q" in bundle.variables["params"]["double_blocks"]["img_attn"]["qkv"]
+    assert "kernel" in bundle.variables["params"]["img_in"]  # non-block untouched
+
+    args = (
+        jnp.asarray(rng.normal(size=(1, 16, INC)), jnp.float32),
+        jnp.zeros((1, 16, 3)),
+        jnp.asarray(rng.normal(size=(1, 4, CTX)), jnp.float32),
+        jnp.zeros((1, 4, 3)),
+        jnp.full((1,), 0.4),
+        jnp.asarray(rng.normal(size=(1, VEC)), jnp.float32),
+        jnp.asarray(rng.normal(size=(1, 16, INC + 4)), jnp.float32),
+        jnp.full((1,), 4.0),
+    )
+    out = module.apply(bundle.variables, *args)
+    assert out.shape == (1, 16, INC) and bool(jnp.isfinite(out).all())
