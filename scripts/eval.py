@@ -27,8 +27,17 @@ def load_video(path):
 
 
 def main():
-    args = dict(zip(sys.argv[1::2], sys.argv[2::2]))
-    sample_dir = args.get("--samples", "samples")
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="VAE reconstruction + VBench-style metrics over a sample dir"
+    )
+    p.add_argument("--samples", default="samples", help="directory of .mp4/.png samples")
+    p.add_argument("--prompts", default=None, help="unused placeholder (prompts are read from per-sample .txt files)")
+    args = p.parse_args()
+    sample_dir = args.samples
+    if not os.path.isdir(sample_dir):
+        p.error(f"sample directory not found: {sample_dir!r} (pass --samples)")
     from opensora_tpu.eval.metrics import psnr, ssim_video
     from opensora_tpu.eval.vbench import evaluate_videos
 
