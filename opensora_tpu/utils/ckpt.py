@@ -237,6 +237,51 @@ def convert_hunyuan_vae_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+def export_hunyuan_vae_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_hunyuan_vae_state_dict`: flax pytree →
+    torch-layout state dict (for safetensors export / ecosystem interop).
+
+    Roundtrip identity is locked by tests/test_ckpt_interop.py."""
+    out: Dict[str, np.ndarray] = {}
+
+    def seg_to_torch(seg: str) -> str:
+        if seg == "to_out":
+            return "to_out.0"
+        head, _, tail = seg.rpartition("_")
+        if head and tail.isdigit():
+            return f"{head}.{tail}"
+        return seg
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + [k])
+            return
+        leaf = path[-1]
+        segs = path[:-1]
+        val = np.asarray(node)
+        if leaf == "kernel":
+            if val.ndim == 5:
+                # the reference's CausalConv3d also nests its Conv3d under
+                # ".conv" (unet_causal_3d_blocks.py:92), so flax paths map
+                # 1:1 — no segment surgery needed
+                val = np.transpose(val, (4, 3, 0, 1, 2))
+            elif val.ndim == 4:
+                val = np.transpose(val, (3, 2, 0, 1))
+            else:
+                val = np.ascontiguousarray(val.T)
+            tleaf = "weight"
+        elif leaf == "scale":
+            tleaf = "weight"
+        else:
+            tleaf = leaf
+        name = ".".join(seg_to_torch(s) for s in segs) + f".{tleaf}"
+        out[name] = val
+
+    walk(params, [])
+    return out
+
+
 def load_checkpoint(
     module,
     from_pretrained: str,

@@ -155,3 +155,40 @@ def test_quantized_load_path(tmp_path):
     )
     out = module.apply(bundle.variables, *args)
     assert out.shape == (1, 16, INC) and bool(jnp.isfinite(out).all())
+
+
+def test_hunyuan_vae_export_import_roundtrip():
+    """export_hunyuan_vae_state_dict is the exact inverse of
+    convert_hunyuan_vae_state_dict (torch-layout interop both ways)."""
+    from opensora_tpu.models.hunyuan_vae.model import (
+        AutoEncoder3DConfig, AutoencoderKLCausal3D,
+    )
+    from opensora_tpu.utils.ckpt import (
+        convert_hunyuan_vae_state_dict, export_hunyuan_vae_state_dict,
+    )
+
+    cfg = AutoEncoder3DConfig(
+        block_out_channels=(4, 8, 8, 8), latent_channels=4,
+        norm_num_groups=4, layers_per_block=1, dtype="fp32",
+    )
+    vae = AutoencoderKLCausal3D(cfg)
+    x = jnp.zeros((1, 3, 5, 16, 16))
+    params = vae.init(
+        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)}, x
+    )["params"]
+
+    sd = export_hunyuan_vae_state_dict(params)
+    assert all("." not in k.rsplit(".", 1)[-1] for k in sd)  # sane leaves
+    back = convert_hunyuan_vae_state_dict(sd)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    paths_a = {jax.tree_util.keystr(p) for p, _ in flat_a}
+    paths_b = {jax.tree_util.keystr(p) for p, _ in flat_b}
+    assert paths_a == paths_b, paths_a ^ paths_b
+    b_by_path = {jax.tree_util.keystr(p): v for p, v in flat_b}
+    for p, v in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(b_by_path[jax.tree_util.keystr(p)]),
+            err_msg=jax.tree_util.keystr(p),
+        )
