@@ -104,13 +104,19 @@ def interleaved_to_split_permutation(dim: int) -> np.ndarray:
     return perm
 
 
-def permute_qk_weight(w: np.ndarray, num_heads: int, head_dim: int, out_axis: int = -1) -> np.ndarray:
-    """Permute a q/k projection weight from interleaved to split RoPE layout.
+def permute_qk_weight(
+    w: np.ndarray, num_heads: int, head_dim: int, out_axis: int = -1,
+    inverse: bool = False,
+) -> np.ndarray:
+    """Permute a q/k projection weight from interleaved to split RoPE layout
+    (or back, with ``inverse=True`` — used by the torch-layout exporter).
 
     ``w`` has the projection's output features on ``out_axis`` laid out as
     (num_heads, head_dim). Works for weights (in, H*D) and biases (H*D,).
     """
     perm = interleaved_to_split_permutation(head_dim)
+    if inverse:
+        perm = np.argsort(perm)
     w = np.moveaxis(np.asarray(w), out_axis, -1)
     shape = w.shape
     w = w.reshape(*shape[:-1], num_heads, head_dim)

@@ -183,6 +183,110 @@ def convert_mmdit_state_dict(
     return params
 
 
+def export_mmdit_state_dict(
+    params: Dict[str, Any],
+    num_heads: int,
+    head_dim: int,
+    rope_convention: str = "split",
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_mmdit_state_dict`: scanned flax pytree →
+    published flux/Open-Sora-v2 torch layout (for safetensors export).
+
+    Unstacks the nn.scan layer axis and, when the in-memory layout is
+    "split", applies the inverse RoPE channel permutation so the exported
+    q/k projections are interleaved again. Roundtrip identity is locked by
+    tests/test_ckpt_interop.py."""
+    from opensora_tpu.ops.rope import permute_qk_weight
+
+    out: Dict[str, np.ndarray] = {}
+
+    def put_lin(prefix, node):
+        out[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(node["kernel"]).T)
+        if "bias" in node:
+            out[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    def unpermute_qkv(node):
+        if rope_convention != "split":
+            return node
+        node = dict(node)
+        q_w, k_w, v_w = np.split(np.asarray(node["kernel"]), 3, axis=-1)
+        q_w = permute_qk_weight(q_w, num_heads, head_dim, out_axis=-1, inverse=True)
+        k_w = permute_qk_weight(k_w, num_heads, head_dim, out_axis=-1, inverse=True)
+        node["kernel"] = np.concatenate([q_w, k_w, v_w], axis=-1)
+        if "bias" in node:
+            qb, kb, vb = np.split(np.asarray(node["bias"]), 3, axis=-1)
+            qb = permute_qk_weight(qb, num_heads, head_dim, out_axis=-1, inverse=True)
+            kb = permute_qk_weight(kb, num_heads, head_dim, out_axis=-1, inverse=True)
+            node["bias"] = np.concatenate([qb, kb, vb], axis=-1)
+        return node
+
+    def unpermute_lin1(node):
+        if rope_convention != "split":
+            return node
+        node = dict(node)
+        hidden3 = 3 * num_heads * head_dim
+        k = np.asarray(node["kernel"])
+        qkv_w, mlp_w = k[:, :hidden3], k[:, hidden3:]
+        q_w, k_w, v_w = np.split(qkv_w, 3, axis=-1)
+        q_w = permute_qk_weight(q_w, num_heads, head_dim, out_axis=-1, inverse=True)
+        k_w = permute_qk_weight(k_w, num_heads, head_dim, out_axis=-1, inverse=True)
+        node["kernel"] = np.concatenate([q_w, k_w, v_w, mlp_w], axis=-1)
+        if "bias" in node:
+            b = np.asarray(node["bias"])
+            qb, kb, vb = np.split(b[:hidden3], 3)
+            qb = permute_qk_weight(qb, num_heads, head_dim, out_axis=-1, inverse=True)
+            kb = permute_qk_weight(kb, num_heads, head_dim, out_axis=-1, inverse=True)
+            node["bias"] = np.concatenate([qb, kb, vb, b[hidden3:]])
+        return node
+
+    def put_mlp_embedder(prefix, node):
+        put_lin(f"{prefix}.in_layer", node["in_layer"])
+        put_lin(f"{prefix}.out_layer", node["out_layer"])
+
+    def put_qknorm(prefix, node):
+        out[f"{prefix}.query_norm.scale"] = np.asarray(node["query_norm"]["scale"])
+        out[f"{prefix}.key_norm.scale"] = np.asarray(node["key_norm"]["scale"])
+
+    def layer_slice(tree, i):
+        return jax.tree.map(lambda x: np.asarray(x)[i], tree)
+
+    put_lin("img_in", params["img_in"])
+    put_lin("txt_in", params["txt_in"])
+    put_mlp_embedder("time_in", params["time_in"])
+    put_mlp_embedder("vector_in", params["vector_in"])
+    if "guidance_in" in params:
+        put_mlp_embedder("guidance_in", params["guidance_in"])
+    if "cond_in" in params:
+        put_lin("cond_in", params["cond_in"])
+
+    n_double = next(iter(jax.tree.leaves(params["double_blocks"]))).shape[0]
+    for i in range(n_double):
+        blk = layer_slice(params["double_blocks"], i)
+        p = f"double_blocks.{i}"
+        put_lin(f"{p}.img_mod.lin", blk["img_mod"]["lin"])
+        put_lin(f"{p}.txt_mod.lin", blk["txt_mod"]["lin"])
+        for s in ("img_attn", "txt_attn"):
+            put_lin(f"{p}.{s}.qkv", unpermute_qkv(blk[s]["qkv"]))
+            put_qknorm(f"{p}.{s}.norm", blk[s]["norm"])
+            put_lin(f"{p}.{s}.proj", blk[s]["proj"])
+        for s in ("img_mlp", "txt_mlp"):
+            put_lin(f"{p}.{s}.0", blk[s]["0"])
+            put_lin(f"{p}.{s}.2", blk[s]["2"])
+
+    n_single = next(iter(jax.tree.leaves(params["single_blocks"]))).shape[0]
+    for i in range(n_single):
+        blk = layer_slice(params["single_blocks"], i)
+        p = f"single_blocks.{i}"
+        put_lin(f"{p}.linear1", unpermute_lin1(blk["linear1"]))
+        put_lin(f"{p}.linear2", blk["linear2"])
+        put_qknorm(f"{p}.norm", blk["norm"])
+        put_lin(f"{p}.modulation.lin", blk["modulation"]["lin"])
+
+    put_lin("final_layer.linear", params["final_layer"]["linear"])
+    put_lin("final_layer.adaLN_modulation.1", params["final_layer"]["adaLN_modulation"])
+    return out
+
+
 def convert_hunyuan_vae_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Map the HunyuanVideo VAE torch layout into our flax pytree.
 

@@ -192,3 +192,23 @@ def test_hunyuan_vae_export_import_roundtrip():
             np.asarray(v), np.asarray(b_by_path[jax.tree_util.keystr(p)]),
             err_msg=jax.tree_util.keystr(p),
         )
+
+
+def test_mmdit_export_import_roundtrip():
+    """export_mmdit_state_dict inverts convert_mmdit_state_dict exactly,
+    including the RoPE split-layout permutation and scan unstacking."""
+    from opensora_tpu.utils.ckpt import export_mmdit_state_dict
+
+    rng = np.random.default_rng(11)
+    sd = _make_torch_sd(rng)
+    params = convert_mmdit_state_dict(
+        sd, depth=DEPTH, depth_single=DEPTH_S, num_heads=HEADS,
+        head_dim=HEAD_DIM, rope_convention="split",
+        cond_embed=True, guidance_embed=True,
+    )
+    back = export_mmdit_state_dict(
+        params, num_heads=HEADS, head_dim=HEAD_DIM, rope_convention="split"
+    )
+    assert set(back) == set(sd), set(back) ^ set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
