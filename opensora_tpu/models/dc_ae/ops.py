@@ -32,7 +32,7 @@ class RMSNormND(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        weight = self.param("weight", nn.initializers.ones, (c,), self.param_dtype)
+        weight = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
         xf = x.astype(jnp.float32)
         x = (xf / jnp.sqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)).astype(x.dtype)
@@ -48,7 +48,7 @@ class LayerNormND(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        weight = self.param("weight", nn.initializers.ones, (c,), self.param_dtype)
+        weight = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
         xf = x.astype(jnp.float32)
         mu = jnp.mean(xf, axis=-1, keepdims=True)

@@ -322,11 +322,10 @@ def convert_hunyuan_vae_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
         if leaf == "weight":
             if val.ndim == 5:  # conv3d
+                # both stacks nest identically (the reference's CausalConv3d
+                # also holds its Conv3d as ".conv", and DC-AE aggreg convs
+                # are raw in both) — names map 1:1, no segment surgery
                 kernel = np.transpose(val, (2, 3, 4, 1, 0))
-                # our CausalConv3d nests the flax Conv under "conv"
-                if path[-1] not in ("quant_conv", "post_quant_conv"):
-                    if path[-1] != "conv":
-                        path = path + ["conv"]
                 put(out, path + ["kernel"], kernel)
             elif val.ndim == 4:  # conv2d
                 put(out, path + ["kernel"], np.transpose(val, (2, 3, 1, 0)))

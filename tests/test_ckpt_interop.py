@@ -212,3 +212,39 @@ def test_mmdit_export_import_roundtrip():
     assert set(back) == set(sd), set(back) ^ set(sd)
     for k in sd:
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_vae2d_and_dcae_export_import_roundtrip():
+    """The generic AE converter pair is an exact inverse for all three AE
+    families (names map 1:1 to the reference layouts; DC-AE norms use flax
+    'scale' naming so torch 1-D 'weight' converts uniformly)."""
+    from opensora_tpu.models.dc_ae.model import DCAE, DCAEConfig
+    from opensora_tpu.models.vae2d.autoencoder_2d import AutoEncoder2D, AutoEncoderConfig
+    from opensora_tpu.utils.ckpt import (
+        convert_hunyuan_vae_state_dict, export_hunyuan_vae_state_dict,
+    )
+
+    m2d = AutoEncoder2D(AutoEncoderConfig(
+        resolution=32, ch=8, ch_mult=[1, 2], num_res_blocks=1, z_channels=4, dtype="fp32"
+    ))
+    p2d = m2d.init(
+        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 3, 32, 32)),
+    )["params"]
+    dcae = DCAE(DCAEConfig(
+        width_list=(8, 8, 16, 16, 16, 16), encoder_depth_list=(1,) * 6,
+        decoder_depth_list=(1,) * 6, latent_channels=8, dtype="fp32",
+    ))
+    pdc = dcae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 4, 64, 64)))["params"]
+
+    for params in (p2d, pdc):
+        back = convert_hunyuan_vae_state_dict(export_hunyuan_vae_state_dict(params))
+        fa = jax.tree_util.tree_flatten_with_path(params)[0]
+        fb = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(back)[0]}
+        assert {jax.tree_util.keystr(k) for k, _ in fa} == set(fb)
+        for k, v in fa:
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(fb[jax.tree_util.keystr(k)]),
+                err_msg=jax.tree_util.keystr(k),
+            )
