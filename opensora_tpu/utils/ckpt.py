@@ -340,6 +340,18 @@ def convert_hunyuan_vae_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+def init_ae_variables(ae, model_cfg: Dict[str, Any], rng, x0) -> Dict[str, Any]:
+    """Load an AE's variables from ``from_pretrained`` when configured,
+    else random-init from ``x0`` — the shared pattern of the VAE CLIs
+    (scripts/vae/{train,inference,stats}.py)."""
+    if isinstance(model_cfg, dict) and model_cfg.get("from_pretrained"):
+        kind = {"dc_ae": "dc_ae", "autoencoder_2d": "vae2d"}.get(
+            model_cfg.get("type"), "hunyuan_vae"
+        )
+        return load_checkpoint(ae, model_cfg["from_pretrained"], kind=kind)
+    return ae.init({"params": rng, "gaussian": rng}, x0)
+
+
 def export_hunyuan_vae_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Inverse of :func:`convert_hunyuan_vae_state_dict`: flax pytree →
     torch-layout state dict (for safetensors export / ecosystem interop).

@@ -50,16 +50,10 @@ def main():
 
     ae = build_module(dict(cfg.model), MODELS)
     rng = jax.random.PRNGKey(cfg.get("seed", 42))
-    if cfg.model.get("from_pretrained"):
-        from opensora_tpu.utils.ckpt import load_checkpoint
-
-        kind = {"dc_ae": "dc_ae", "autoencoder_2d": "vae2d"}.get(
-            cfg.model.get("type"), "hunyuan_vae"
-        )
-        ae_vars = load_checkpoint(ae, cfg.model["from_pretrained"], kind=kind)
-    else:
-        x0 = jnp.zeros((1, 3, 5, 64, 64), jnp.float32)
-        ae_vars = ae.init({"params": rng, "gaussian": rng}, x0)
+    from opensora_tpu.utils.ckpt import init_ae_variables
+    ae_vars = init_ae_variables(
+        ae, dict(cfg.model), rng, jnp.zeros((1, 3, 5, 64, 64), jnp.float32)
+    )
 
     # the posterior object is host-side only; jit returns arrays
     def _fwd(x, r):

@@ -36,8 +36,9 @@ def main():
     )
     ae = build_module(dict(cfg.model), MODELS)
     rng = jax.random.PRNGKey(cfg.get("seed", 42))
-    ae_vars = ae.init(
-        {"params": rng, "gaussian": rng}, jnp.zeros((1, 3, 5, 64, 64), jnp.float32)
+    from opensora_tpu.utils.ckpt import init_ae_variables
+    ae_vars = init_ae_variables(
+        ae, dict(cfg.model), rng, jnp.zeros((1, 3, 5, 64, 64), jnp.float32)
     )
     encode = jax.jit(
         lambda x, r: ae.apply(ae_vars, x, rngs={"gaussian": r}, method=type(ae).encode)

@@ -46,7 +46,8 @@ def main():
     ae = build_module(dict(cfg.model), MODELS)
     rng = jax.random.PRNGKey(cfg.get("seed", 42))
     x0 = jnp.zeros((1, 3, 5, 64, 64), jnp.float32)
-    ae_vars = ae.init({"params": rng, "gaussian": rng}, x0)
+    from opensora_tpu.utils.ckpt import init_ae_variables
+    ae_vars = init_ae_variables(ae, dict(cfg.model), rng, x0)
     params = dict(ae_vars["params"])
     params["loss_logvar"] = jnp.zeros(())
     logger.info("AE params: %s", format_numel(count_params(params)))
