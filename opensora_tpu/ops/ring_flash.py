@@ -1,0 +1,193 @@
+"""Pallas-RDMA ring flash attention (forward): KV blocks rotate between
+chips via in-kernel async remote DMA, double-buffered so the ICI transfer
+of step i+1 overlaps the flash compute of step i.
+
+This is the kernel-level version of ops/sp.py::ring_attention (which rotates
+KV with lax.ppermute and lets XLA schedule the overlap — reference ring SP:
+models/mmdit/distributed.py:219-422, RingComm double-buffered send/recv on a
+second CUDA stream). Here the overlap is explicit: the pallas guide's ring
+pattern (make_async_remote_copy + parity-indexed DMA semaphores + a
+neighbor barrier).
+
+Status: forward only, parity-tested in interpret mode on a virtual mesh
+(tests/test_ring_flash.py); multi-chip perf measurement is a round-2 item —
+use ops/sp.py::ring_attention for training (it has the custom-vjp backward).
+
+Layout: per device q, k, v are (B, H, L_loc, D); output (B, H, L_loc, D)
+plus per-row LSE. Grid is (B, H); each cell runs the full sp-step ring for
+its (batch, head) slice, so cells progress in lockstep across devices and
+the parity-indexed semaphores match sends to receives in program order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+NEG_INF = -1e30
+
+
+def _ring_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
+    kv_buf, sem_send, sem_recv,
+    *, axis: str, sp: int, block_q: int, block_k: int, causal_block,
+    use_barrier: bool,
+):
+    """One (b, h) cell: flash attention over sp ring hops of the KV shard."""
+    my_id = lax.axis_index(axis)
+    q = q_ref[0, 0]  # (Lq, D)
+    l_q, d = q.shape
+    l_k = k_ref.shape[2]
+    n_q = l_q // block_q
+    n_k = l_k // block_k
+
+    # stage the local KV shard into slot 0 of the comm buffer
+    kv_buf[0, 0] = k_ref[0, 0]
+    kv_buf[0, 1] = v_ref[0, 0]
+
+    right = lax.rem(my_id + 1, sp)
+    left = lax.rem(my_id + sp - 1, sp)
+    if use_barrier:
+        # neighbours ready before any RDMA lands (guide: local barrier);
+        # get_barrier_semaphore is unsupported by interpret mode, where the
+        # recv-semaphore waits alone give a correct (serialized) schedule
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=right,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=left,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier, 2)
+
+    m = jnp.full((l_q, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((l_q, 1), jnp.float32)
+    acc = jnp.zeros((l_q, d), jnp.float32)
+
+    for step in range(sp):
+        cur = step % 2
+        nxt = (step + 1) % 2
+        if step + 1 < sp:
+            # kick off the transfer of the CURRENT slot to the right
+            # neighbour's NEXT slot while we compute on it
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=kv_buf.at[cur],
+                dst_ref=kv_buf.at[nxt],
+                send_sem=sem_send.at[cur],
+                recv_sem=sem_recv.at[nxt],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+
+        k_step = kv_buf[cur, 0]
+        v_step = kv_buf[cur, 1]
+        # the shard held at `step` originated on device (my_id - step)
+        src = lax.rem(my_id + sp - step, sp)
+        k_off = src * l_k
+
+        sm_scale = 1.0 / (d ** 0.5)
+        for qi in range(n_q):
+            qb = q[qi * block_q:(qi + 1) * block_q].astype(jnp.float32)
+            mb = m[qi * block_q:(qi + 1) * block_q]
+            lb = l[qi * block_q:(qi + 1) * block_q]
+            ab = acc[qi * block_q:(qi + 1) * block_q]
+            for ki in range(n_k):
+                kb = k_step[ki * block_k:(ki + 1) * block_k].astype(jnp.float32)
+                vb = v_step[ki * block_k:(ki + 1) * block_k].astype(jnp.float32)
+                s = (qb @ kb.T) * sm_scale
+                if causal_block is not None:
+                    row = (my_id * l_q + qi * block_q
+                           + lax.broadcasted_iota(jnp.int32, s.shape, 0))
+                    col = (k_off + ki * block_k
+                           + lax.broadcasted_iota(jnp.int32, s.shape, 1))
+                    s = jnp.where(
+                        col // causal_block <= row // causal_block, s, NEG_INF
+                    )
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(mb, m_cur)
+                m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
+                p = jnp.exp(s - m_safe)
+                corr = jnp.exp(mb - m_safe)
+                lb = lb * corr + jnp.sum(p, axis=-1, keepdims=True)
+                ab = ab * corr + p @ vb
+                mb = m_new
+            m = lax.dynamic_update_slice(m, mb, (qi * block_q, 0))
+            l = lax.dynamic_update_slice(l, lb, (qi * block_q, 0))
+            acc = lax.dynamic_update_slice(acc, ab, (qi * block_q, 0))
+
+        if step + 1 < sp:
+            rdma.wait()  # next slot received; our send drained
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l_safe)).astype(jnp.float32)
+
+
+def ring_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    block_q: int = 256,
+    block_k: int = 256,
+    causal_block=None,
+    interpret: bool = False,
+):
+    """Sequence-parallel flash attention with in-kernel RDMA KV rotation.
+
+    q, k, v: (B, H, L_global, D) logically; sharded over ``axis`` on L.
+    Returns (out, lse) with the same sharding. Forward only.
+    """
+    sp = mesh.shape[axis]
+
+    def local(q_l, k_l, v_l):
+        b, h, l_q, d = q_l.shape
+        l_k = k_l.shape[2]
+        bq = min(block_q, l_q)
+        bk = min(block_k, l_k)
+        assert l_q % bq == 0 and l_k % bk == 0, "local lengths must tile evenly"
+        kern = functools.partial(
+            _ring_fwd_kernel, axis=axis, sp=sp,
+            block_q=bq, block_k=bk, causal_block=causal_block,
+            use_barrier=not interpret,
+        )
+        out, lse = pl.pallas_call(
+            kern,
+            grid=(b, h),
+            in_specs=[
+                pl.BlockSpec((1, 1, l_q, d), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, l_k, d), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, l_k, d), lambda i, j: (i, j, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, l_q, d), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, l_q, 1), lambda i, j: (i, j, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, l_q, d), q_l.dtype),
+                jax.ShapeDtypeStruct((b, h, l_q, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, l_k, d), k_l.dtype),  # [slot, k/v, L, D]
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True, collective_id=7),
+            interpret=interpret,
+        )(q_l, k_l, v_l)
+        return out, lse
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axis, None),) * 3,
+        out_specs=(P(None, None, axis, None), P(None, None, axis, None)),
+        check_vma=False,
+    )(q, k, v)

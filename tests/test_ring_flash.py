@@ -1,0 +1,49 @@
+"""Pallas-RDMA ring flash attention vs full attention (interpret mode on a
+4-virtual-device single-axis mesh — interpret-mode remote DMA requires a
+single named mesh axis and scalar logical ids)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opensora_tpu.ops.attention import xla_attention
+from opensora_tpu.ops.ring_flash import ring_flash_attention
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    return Mesh(np.asarray(devs[:4]), ("sp",))
+
+
+def _qkv(L=512, B=1, H=2, D=128):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return tuple(jax.random.normal(k, (B, H, L, D), jnp.float32) for k in ks)
+
+
+def test_ring_flash_matches_full(mesh):
+    q, k, v = _qkv()
+    out, lse = ring_flash_attention(
+        q, k, v, mesh, block_q=128, block_k=128, interpret=True
+    )
+    ref = xla_attention(q, k, v)
+    assert jnp.abs(out - ref).max() < 5e-5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(q.shape[-1])
+    ref_lse = jax.scipy.special.logsumexp(s, axis=-1)[..., None]
+    assert jnp.abs(lse - ref_lse).max() < 1e-5
+
+
+def test_ring_flash_causal_global_offsets(mesh):
+    """Frame-causal masking must use GLOBAL row/col indices: each ring hop's
+    KV shard originates on a different device."""
+    q, k, v = _qkv()
+    out, _ = ring_flash_attention(
+        q, k, v, mesh, block_q=128, block_k=128, causal_block=128, interpret=True
+    )
+    ref = xla_attention(q, k, v, causal_block=128)
+    assert jnp.abs(out - ref).max() < 5e-5
