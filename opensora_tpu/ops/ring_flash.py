@@ -35,7 +35,7 @@ NEG_INF = -1e30
 
 def _ring_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
-    kv_buf, sem_send, sem_recv,
+    kv_buf, m_scr, l_scr, acc_scr, sem_send, sem_recv,
     *, axis: str, sp: int, block_q: int, block_k: int, causal_block,
     use_barrier: bool,
 ):
@@ -64,9 +64,9 @@ def _ring_fwd_kernel(
                                device_id_type=pltpu.DeviceIdType.LOGICAL)
         pltpu.semaphore_wait(barrier, 2)
 
-    m = jnp.full((l_q, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((l_q, 1), jnp.float32)
-    acc = jnp.zeros((l_q, d), jnp.float32)
+    m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
 
     for step in range(sp):
         cur = step % 2
@@ -92,10 +92,11 @@ def _ring_fwd_kernel(
 
         sm_scale = 1.0 / (d ** 0.5)
         for qi in range(n_q):
-            qb = q[qi * block_q:(qi + 1) * block_q].astype(jnp.float32)
-            mb = m[qi * block_q:(qi + 1) * block_q]
-            lb = l[qi * block_q:(qi + 1) * block_q]
-            ab = acc[qi * block_q:(qi + 1) * block_q]
+            sl = slice(qi * block_q, (qi + 1) * block_q)
+            qb = q[sl].astype(jnp.float32)
+            mb = m_scr[sl]
+            lb = l_scr[sl]
+            ab = acc_scr[sl]
             for ki in range(n_k):
                 kb = k_step[ki * block_k:(ki + 1) * block_k].astype(jnp.float32)
                 vb = v_step[ki * block_k:(ki + 1) * block_k].astype(jnp.float32)
@@ -116,16 +117,16 @@ def _ring_fwd_kernel(
                 lb = lb * corr + jnp.sum(p, axis=-1, keepdims=True)
                 ab = ab * corr + p @ vb
                 mb = m_new
-            m = lax.dynamic_update_slice(m, mb, (qi * block_q, 0))
-            l = lax.dynamic_update_slice(l, lb, (qi * block_q, 0))
-            acc = lax.dynamic_update_slice(acc, ab, (qi * block_q, 0))
+            m_scr[sl] = mb
+            l_scr[sl] = lb
+            acc_scr[sl] = ab
 
         if step + 1 < sp:
             rdma.wait()  # next slot received; our send drained
 
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l_safe)).astype(jnp.float32)
+    l_safe = jnp.where(l_scr[...] == 0.0, 1.0, l_scr[...])
+    o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m_scr[...] + jnp.log(l_safe)).astype(jnp.float32)
 
 
 def ring_flash_attention(
@@ -176,6 +177,9 @@ def ring_flash_attention(
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, 2, l_k, d), k_l.dtype),  # [slot, k/v, L, D]
+                pltpu.VMEM((l_q, 1), jnp.float32),      # running max
+                pltpu.VMEM((l_q, 1), jnp.float32),      # running sum
+                pltpu.VMEM((l_q, d), jnp.float32),      # accumulator
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
