@@ -92,6 +92,21 @@ def attention(
             k = rope_ops.apply_rope_interleaved(k, cos, sin)
         else:
             raise ValueError(f"unknown rope convention {rope_convention!r}")
+    if backend == "ring_rdma":
+        # inference-only SP: in-kernel RDMA KV rotation (ops/ring_flash.py);
+        # training uses "ring" (custom-vjp backward)
+        from opensora_tpu.ops.ring_flash import ring_flash_attention
+        from opensora_tpu.parallel.context import get_mesh
+
+        mesh = get_mesh()
+        assert mesh is not None, "ring_rdma requires a mesh (parallel.context.set_mesh)"
+        qh, kh, vh = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        # interpret-mode remote DMA needs a single-axis mesh (CPU tests)
+        out, _ = ring_flash_attention(
+            qh, kh, vh, mesh, interpret=jax.default_backend() != "tpu"
+        )
+        b, h, l, d = out.shape
+        return out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
     if backend in ("ulysses", "ring") or (
         isinstance(backend, str) and backend.startswith(("ulysses:", "ring:"))
     ):

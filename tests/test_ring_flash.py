@@ -47,3 +47,22 @@ def test_ring_flash_causal_global_offsets(mesh):
     )
     ref = xla_attention(q, k, v, causal_block=128)
     assert jnp.abs(out - ref).max() < 5e-5
+
+
+def test_attention_dispatcher_ring_rdma(mesh):
+    """attention(..., backend='ring_rdma') routes through the RDMA kernel
+    (single-axis mesh; interpret on CPU) and matches the dense path."""
+    from opensora_tpu.ops.attention import attention
+    from opensora_tpu.parallel.context import set_mesh
+
+    B, L, H, D = 1, 512, 2, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (B, L, H, D), jnp.float32) for kk in ks)
+    set_mesh(mesh)
+    try:
+        out = attention(q, k, v, backend="ring_rdma")
+    finally:
+        set_mesh(None)
+    ref = attention(q, k, v, backend="xla")
+    assert out.shape == (B, L, H * D)
+    assert jnp.abs(out - ref).max() < 5e-5
