@@ -79,7 +79,12 @@ class QuantDense(nn.Module):
             ).reshape(*lead, self.features)
         else:
             x = x.astype(self.dtype)
-            y = jnp.dot(x, q.astype(self.dtype)) * scale.astype(self.dtype)
+            # keep the dequant scale multiply in fp32 — rounding the
+            # per-channel scale to bf16 would add ~0.4% extra relative error
+            # on top of int8 quantization; XLA fuses this fp32 epilogue
+            y = (
+                jnp.dot(x, q.astype(self.dtype)).astype(jnp.float32) * scale
+            ).astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + b.astype(self.dtype)

@@ -33,11 +33,30 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_INF = -1e30
 
 
+def flat_neighbor_id(axis: str, shift: int, mesh_axes):
+    """Row-major flattened LOGICAL device id of the ring neighbor.
+
+    LOGICAL device ids are flattened mesh coordinates, so the ring neighbor
+    must keep every non-``axis`` coordinate (same data/tp group) and shift
+    only the ``axis`` coordinate. Using the bare sp index would address the
+    wrong device whenever another mesh axis is nontrivial.
+    ``mesh_axes`` is ``tuple(zip(mesh.axis_names, mesh.devices.shape))``.
+    Traceable under shard_map / pallas (uses lax.axis_index).
+    """
+    idx = jnp.int32(0)
+    for name, size in mesh_axes:
+        c = lax.axis_index(name)
+        if name == axis:
+            c = lax.rem(c + shift + size, size)
+        idx = idx * size + c
+    return idx
+
+
 def _ring_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
     kv_buf, m_scr, l_scr, acc_scr, sem_send, sem_recv,
     *, axis: str, sp: int, block_q: int, block_k: int, causal_block,
-    use_barrier: bool,
+    use_barrier: bool, mesh_axes,
 ):
     """One (b, h) cell: flash attention over sp ring hops of the KV shard."""
     my_id = lax.axis_index(axis)
@@ -51,8 +70,8 @@ def _ring_fwd_kernel(
     kv_buf[0, 0] = k_ref[0, 0]
     kv_buf[0, 1] = v_ref[0, 0]
 
-    right = lax.rem(my_id + 1, sp)
-    left = lax.rem(my_id + sp - 1, sp)
+    right = flat_neighbor_id(axis, 1, mesh_axes)
+    left = flat_neighbor_id(axis, -1, mesh_axes)
     if use_barrier:
         # neighbours ready before any RDMA lands (guide: local barrier);
         # get_barrier_semaphore is unsupported by interpret mode, where the
@@ -158,6 +177,7 @@ def ring_flash_attention(
             _ring_fwd_kernel, axis=axis, sp=sp,
             block_q=bq, block_k=bk, causal_block=causal_block,
             use_barrier=not interpret,
+            mesh_axes=tuple(zip(mesh.axis_names, mesh.devices.shape)),
         )
         out, lse = pl.pallas_call(
             kern,

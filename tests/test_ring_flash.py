@@ -66,3 +66,39 @@ def test_attention_dispatcher_ring_rdma(mesh):
     ref = attention(q, k, v, backend="xla")
     assert out.shape == (B, L, H * D)
     assert jnp.abs(out - ref).max() < 5e-5
+
+
+def test_flat_neighbor_id_multi_axis_mesh():
+    """Ring neighbors on a (data=2, sp=2, tp=2) mesh must stay within the
+    same (data, tp) group — the bare sp index would cross groups. Interpret
+    mode can't run multi-axis LOGICAL DMA, so the id math is validated via
+    plain shard_map against row-major flattened mesh coordinates."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from opensora_tpu.ops.ring_flash import flat_neighbor_id
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(devs[:8]).reshape(2, 2, 2), ("data", "sp", "tp"))
+    mesh_axes = tuple(zip(mesh.axis_names, mesh.devices.shape))
+
+    def per_device(_):
+        return jnp.stack(
+            [flat_neighbor_id("sp", 1, mesh_axes),
+             flat_neighbor_id("sp", -1, mesh_axes)]
+        )[None]
+
+    x = jnp.zeros((8, 1))
+    got = shard_map(
+        per_device, mesh=mesh,
+        in_specs=P(("data", "sp", "tp")), out_specs=P(("data", "sp", "tp")),
+    )(x)
+    got = np.asarray(got)  # row i = flat logical id i → [right, left]
+    d, s, t = 2, 2, 2
+    for i in range(8):
+        di, si, ti = i // (s * t), (i // t) % s, i % t
+        right = di * s * t + ((si + 1) % s) * t + ti
+        left = di * s * t + ((si - 1) % s) * t + ti
+        assert got[i, 0] == right and got[i, 1] == left, (i, got[i])
