@@ -97,8 +97,15 @@ def make_train_step(
     sigma_min: float = 1e-5,
     use_masked_loss: bool = False,
     patch_size: int = 2,
+    lora_scale: float = 1.0,
 ) -> Callable:
     """Build the jitted rectified-flow train step.
+
+    LoRA fine-tuning (reference scripts/diffusion/train.py:198-217 via peft):
+    pass the frozen base params as a 4th argument to the returned step; then
+    ``state.params`` is the LoRA factor tree and the model runs on
+    ``merge_lora(frozen, params, lora_scale)`` — only the factors get
+    gradients/optimizer state.
 
     batch dict (all device arrays):
       x0        packed clean latent (B, L, C_in)
@@ -111,7 +118,11 @@ def make_train_step(
       null_txt, null_vec    CFG null embeddings (broadcast rows)
     """
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, frozen, batch, rng):
+        if frozen is not None:
+            from opensora_tpu.training.lora import merge_lora
+
+            params = merge_lora(frozen, params, lora_scale)
         r_t, r_noise, r_txt, r_vec = jax.random.split(rng, 4)
         x0 = batch["x0"].astype(jnp.float32)
         b = x0.shape[0]
@@ -149,9 +160,9 @@ def make_train_step(
             loss = jnp.mean((pred.astype(jnp.float32) - v_t) ** 2)
         return loss
 
-    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array, frozen=None):
         rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen, batch, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = (
@@ -174,13 +185,20 @@ def make_train_step(
     return train_step
 
 
-def jit_train_step(train_step, mesh: Mesh, state: TrainState, fsdp: bool = True):
+def jit_train_step(
+    train_step, mesh: Mesh, state: TrainState, fsdp: bool = True,
+    frozen_shardings=None,
+):
     """jit with explicit in/out shardings over the mesh. Batch arrays carry
-    their own shardings (in_shardings=None → inferred)."""
+    their own shardings (in_shardings=None → inferred). For LoRA, pass the
+    frozen base params' shardings and call the step with 4 arguments."""
     st_shard = state_shardings(mesh, state, fsdp=fsdp)
+    in_shardings = (st_shard, None, None)
+    if frozen_shardings is not None:
+        in_shardings = in_shardings + (frozen_shardings,)
     return jax.jit(
         train_step,
-        in_shardings=(st_shard, None, None),
+        in_shardings=in_shardings,
         out_shardings=(st_shard, None),
         donate_argnums=(0,),
     )

@@ -86,10 +86,12 @@ def main():
     patch_size = cfg.get("patch_size", 2)
     mcfg = model.config
 
-    # init params on a representative tiny shape (shape-polymorphic weights)
-    B0, L0, Lt0 = 1, 16, 8
-    variables = model.init(
-        rng,
+    # init params on a representative tiny shape (shape-polymorphic weights);
+    # in-model sharding constraints need batch/tokens divisible by the mesh
+    B0 = mesh.shape["data"]
+    L0 = 16 * mesh.shape["sp"]
+    Lt0 = 8 * mesh.shape["sp"]
+    init_args = (
         jnp.zeros((B0, L0, mcfg.in_channels), jnp.float32),
         jnp.zeros((B0, L0, 3)),
         jnp.zeros((B0, Lt0, mcfg.context_in_dim), jnp.float32),
@@ -100,18 +102,64 @@ def main():
         if mcfg.cond_embed else None,
         jnp.zeros((B0,)) if mcfg.guidance_embed else None,
     )
-    params = variables["params"]
+    if mcfg.from_pretrained:
+        # finetune from a published torch checkpoint (reference
+        # scripts/diffusion/train.py:191-235, utils/ckpt.py:84-140); the
+        # random-init template supplies target shapes/dtypes and catches
+        # converter/geometry mismatches before the first step
+        from opensora_tpu.utils.ckpt import load_checkpoint
+
+        template = jax.eval_shape(model.init, rng, *init_args)["params"]
+        loaded = load_checkpoint(model, mcfg.from_pretrained, kind="mmdit")["params"]
+
+        def cast(t, p):
+            assert t.shape == p.shape, f"shape mismatch {t.shape} vs {p.shape}"
+            return jnp.asarray(p, t.dtype)
+
+        params = jax.tree.map(cast, template, loaded)
+        logger.info("loaded pretrained MMDiT weights from %s", mcfg.from_pretrained)
+    else:
+        params = model.init(rng, *init_args)["params"]
     logger.info("MMDiT params: %s", format_numel(count_params(params)))
-    params = jax.device_put(
-        params, make_shardings(mesh, mmdit_param_specs(params, fsdp=True))
-    )
+    param_shardings = make_shardings(mesh, mmdit_param_specs(params, fsdp=True))
+    params = jax.device_put(params, param_shardings)
+
+    # LoRA fine-tuning (reference train.py:198-217, peft LoraConfig): the
+    # optimizer/EMA/train-state hold only the (A, B) factor tree; the loaded
+    # base params stay frozen and are merged on the fly in the loss
+    lora_cfg = cfg.get("lora_config")
+    base_params = None
+    lora_scale = 1.0
+    if lora_cfg:
+        from opensora_tpu.training.lora import (
+            DEFAULT_TARGETS,
+            count_lora_params,
+            init_lora_params,
+        )
+
+        rank = lora_cfg.get("r", lora_cfg.get("rank", 16))
+        lora_scale = lora_cfg.get("lora_alpha", rank) / rank  # peft semantics
+        base_params = params
+        rng, r_lora = jax.random.split(rng)
+        params = init_lora_params(
+            base_params, r_lora, rank=rank,
+            target_regex=lora_cfg.get("target_regex", DEFAULT_TARGETS),
+        )
+        logger.info(
+            "LoRA enabled: rank %d, scale %.3f, %s trainable factor params",
+            rank, lora_scale, format_numel(count_lora_params(params)),
+        )
 
     ae_vars = None
     if cfg.get("cached_video", False):
         ae_encode = None
     else:
+        from opensora_tpu.utils.ckpt import init_ae_variables
+
         x0s = jnp.zeros((1, 3, 5, 64, 64), jnp.float32)
-        ae_vars = model_ae.init({"params": rng, "gaussian": rng}, x0s)
+        ae_vars = init_ae_variables(model_ae, dict(cfg.ae), rng, x0s)
+        if dict(cfg.ae).get("from_pretrained"):
+            logger.info("loaded pretrained AE weights from %s", cfg.ae["from_pretrained"])
         ae_encode = jax.jit(
             lambda x, r: model_ae.apply(
                 ae_vars, x, rngs={"gaussian": r}, method=type(model_ae).encode
@@ -127,7 +175,9 @@ def main():
         grad_clip=cfg.get("grad_clip"),
         accumulation_steps=cfg.get("accumulation_steps", 1),
     )
-    state = TrainState.create(params, tx, ema=cfg.get("ema_decay", 0.9999) is not None)
+    # no EMA under LoRA (reference train.py:198-205: EMA only without LoRA)
+    use_ema = cfg.get("ema_decay", 0.9999) is not None and not lora_cfg
+    state = TrainState.create(params, tx, ema=use_ema)
     state, _ = shard_state(mesh, state, fsdp=True)
     log_device_memory("post-state", logger)
 
@@ -138,8 +188,13 @@ def main():
         if cfg.get("dropout_ratio") else 0.0,
         use_masked_loss=cfg.get("condition_config") is not None,
         patch_size=patch_size,
+        lora_scale=lora_scale,
     )
-    step_fn = jit_train_step(train_step, mesh, state, fsdp=True)
+    step_fn = jit_train_step(
+        train_step, mesh, state, fsdp=True,
+        frozen_shardings=param_shardings if lora_cfg else None,
+    )
+    step_extra = (base_params,) if lora_cfg else ()
 
     ckpt_io = CheckpointIO()
     start_epoch = start_step = global_step = 0
@@ -244,7 +299,7 @@ def main():
                 jax.profiler.start_trace(os.path.join(exp_dir, "profile"))
             with timers("step"):
                 rng, r_step = jax.random.split(rng)
-                state, metrics = step_fn(state, tb, r_step)
+                state, metrics = step_fn(state, tb, r_step, *step_extra)
             global_step += 1
             if prof and global_step == prof.get("end", -1):
                 jax.profiler.stop_trace()
