@@ -26,6 +26,7 @@ def main():
 
     from opensora_tpu.datasets.dataloader import prepare_dataloader
     from opensora_tpu.parallel.context import set_mesh
+    from opensora_tpu.parallel.data import make_global_batch
     from opensora_tpu.parallel.mesh import MeshConfig, create_mesh
     from opensora_tpu.parallel.sharding import make_shardings, mmdit_param_specs
     from opensora_tpu.registry import DATASETS, MODELS, build_module
@@ -293,6 +294,10 @@ def main():
                 ) if null_txt.shape[1] >= inp["txt"].shape[1] else jnp.zeros_like(inp["txt"]),
                 "null_vec": jnp.broadcast_to(jnp.asarray(null_vec), inp["y_vec"].shape),
             }
+            # explicit mesh placement: rows on 'data', tokens on 'sp'; on
+            # multi-host pods this assembles the global batch from each
+            # host's local rows (parallel/data.py, SURVEY §2.6 DP row)
+            tb = make_global_batch(mesh, tb)
 
             prof = cfg.get("profile")  # dict(start=, end=) global steps
             if prof and global_step == prof.get("start", -1):
