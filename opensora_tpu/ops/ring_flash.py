@@ -9,9 +9,11 @@ second CUDA stream). Here the overlap is explicit: the pallas guide's ring
 pattern (make_async_remote_copy + parity-indexed DMA semaphores + a
 neighbor barrier).
 
-Status: forward only, parity-tested in interpret mode on a virtual mesh
-(tests/test_ring_flash.py); multi-chip perf measurement is a round-2 item —
-use ops/sp.py::ring_attention for training (it has the custom-vjp backward).
+Status: forward + backward (custom vjp), parity-tested in interpret mode on
+a virtual mesh (tests/test_ring_flash.py). The backward mirrors
+ops/sp.py::_ring_bwd (reference distributed.py:316-373): dk/dv accumulators
+rotate WITH the KV shards in a second f32 comm buffer and land home after a
+full circle; dq accumulates locally from the stored global LSE.
 
 Layout: per device q, k, v are (B, H, L_loc, D); output (B, H, L_loc, D)
 plus per-row LSE. Grid is (B, H); each cell runs the full sp-step ring for
@@ -148,6 +150,108 @@ def _ring_fwd_kernel(
     lse_ref[0, 0] = (m_scr[...] + jnp.log(l_safe)).astype(jnp.float32)
 
 
+def _ring_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    kv_buf, grad_buf, dq_scr, kv_send, kv_recv, gr_send, gr_recv,
+    *, axis: str, sp: int, block_q: int, block_k: int, causal_block,
+    use_barrier: bool, mesh_axes,
+):
+    """Backward ring (mirrors ops/sp.py::_ring_bwd / reference
+    opensora/models/mmdit/distributed.py:316-373): the KV shards rotate as
+    in the forward while their dk/dv accumulators travel WITH them in a
+    second f32 comm buffer — after sp hops each accumulator is home on the
+    shard's owner. dq accumulates locally from the stored global LSE."""
+    my_id = lax.axis_index(axis)
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    l_q, d = q.shape
+    l_k = k_ref.shape[2]
+    n_q = l_q // block_q
+    n_k = l_k // block_k
+
+    kv_buf[0, 0] = k_ref[0, 0]
+    kv_buf[0, 1] = v_ref[0, 0]
+    grad_buf[0, :] = jnp.zeros_like(grad_buf[0])
+
+    right = flat_neighbor_id(axis, 1, mesh_axes)
+    left = flat_neighbor_id(axis, -1, mesh_axes)
+    if use_barrier:
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=right,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=left,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier, 2)
+
+    dq_scr[...] = jnp.zeros_like(dq_scr)
+    sm_scale = 1.0 / (d ** 0.5)
+
+    for step in range(sp):
+        cur = step % 2
+        nxt = (step + 1) % 2
+        if step + 1 < sp:
+            # KV is read-only: its transfer overlaps this step's compute
+            kv_rdma = pltpu.make_async_remote_copy(
+                src_ref=kv_buf.at[cur], dst_ref=kv_buf.at[nxt],
+                send_sem=kv_send.at[cur], recv_sem=kv_recv.at[nxt],
+                device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            kv_rdma.start()
+
+        k_step = kv_buf[cur, 0]
+        v_step = kv_buf[cur, 1]
+        src = lax.rem(my_id + sp - step, sp)
+        k_off = src * l_k
+
+        for ki in range(n_k):
+            ks = slice(ki * block_k, (ki + 1) * block_k)
+            kb = k_step[ks].astype(jnp.float32)
+            vb = v_step[ks].astype(jnp.float32)
+            dk_b = jnp.zeros((block_k, d), jnp.float32)
+            dv_b = jnp.zeros((block_k, d), jnp.float32)
+            for qi in range(n_q):
+                qs = slice(qi * block_q, (qi + 1) * block_q)
+                qb = q[qs].astype(jnp.float32)
+                dob = do[qs].astype(jnp.float32)
+                lse_b = lse_ref[0, 0][qs]      # (bq, 1)
+                delta_b = delta_ref[0, 0][qs]  # (bq, 1)
+                s = (qb @ kb.T) * sm_scale
+                if causal_block is not None:
+                    row = (my_id * l_q + qi * block_q
+                           + lax.broadcasted_iota(jnp.int32, s.shape, 0))
+                    col = (k_off + ki * block_k
+                           + lax.broadcasted_iota(jnp.int32, s.shape, 1))
+                    s = jnp.where(
+                        col // causal_block <= row // causal_block, s, NEG_INF
+                    )
+                p = jnp.exp(s - lse_b)  # masked scores underflow to 0
+                dv_b = dv_b + p.T @ dob
+                dp = dob @ vb.T
+                ds = p * (dp - delta_b) * sm_scale
+                dq_scr[qs] += ds @ kb
+                dk_b = dk_b + ds.T @ qb
+            grad_buf[cur, 0, ks] += dk_b
+            grad_buf[cur, 1, ks] += dv_b
+
+        # grads hop on EVERY step (sp hops total → accumulator lands home);
+        # must go after the local contribution is added
+        gr_rdma = pltpu.make_async_remote_copy(
+            src_ref=grad_buf.at[cur], dst_ref=grad_buf.at[nxt],
+            send_sem=gr_send.at[cur], recv_sem=gr_recv.at[nxt],
+            device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        gr_rdma.start()
+        if step + 1 < sp:
+            kv_rdma.wait()
+        gr_rdma.wait()
+
+    home = sp % 2
+    dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+    dk_ref[0, 0] = grad_buf[home, 0].astype(dk_ref.dtype)
+    dv_ref[0, 0] = grad_buf[home, 1].astype(dv_ref.dtype)
+
+
 def ring_flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -163,11 +267,13 @@ def ring_flash_attention(
     """Sequence-parallel flash attention with in-kernel RDMA KV rotation.
 
     q, k, v: (B, H, L_global, D) logically; sharded over ``axis`` on L.
-    Returns (out, lse) with the same sharding. Forward only.
+    Returns (out, lse) with the same sharding. Differentiable: the backward
+    runs the RDMA ring in reverse-accumulation form (_ring_bwd_kernel).
     """
     sp = mesh.shape[axis]
+    mesh_axes = tuple(zip(mesh.axis_names, mesh.devices.shape))
 
-    def local(q_l, k_l, v_l):
+    def _fwd_pallas(q_l, k_l, v_l):
         b, h, l_q, d = q_l.shape
         l_k = k_l.shape[2]
         bq = min(block_q, l_q)
@@ -176,10 +282,9 @@ def ring_flash_attention(
         kern = functools.partial(
             _ring_fwd_kernel, axis=axis, sp=sp,
             block_q=bq, block_k=bk, causal_block=causal_block,
-            use_barrier=not interpret,
-            mesh_axes=tuple(zip(mesh.axis_names, mesh.devices.shape)),
+            use_barrier=not interpret, mesh_axes=mesh_axes,
         )
-        out, lse = pl.pallas_call(
+        return pl.pallas_call(
             kern,
             grid=(b, h),
             in_specs=[
@@ -203,13 +308,76 @@ def ring_flash_attention(
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            compiler_params=pltpu.CompilerParams(has_side_effects=True, collective_id=7),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=7,
+                # whole-shard windows exceed the 16M default scoped-VMEM cap
+                # well before the chip's physical VMEM; lift it (v5e: 128M)
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(q_l, k_l, v_l)
-        return out, lse
+
+    def _bwd_pallas(q_l, k_l, v_l, o_l, lse_l, do_l):
+        b, h, l_q, d = q_l.shape
+        l_k = k_l.shape[2]
+        bq = min(block_q, l_q)
+        bk = min(block_k, l_k)
+        delta = jnp.sum(
+            do_l.astype(jnp.float32) * o_l.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        kern = functools.partial(
+            _ring_bwd_kernel, axis=axis, sp=sp,
+            block_q=bq, block_k=bk, causal_block=causal_block,
+            use_barrier=not interpret, mesh_axes=mesh_axes,
+        )
+        q_spec = pl.BlockSpec((1, 1, l_q, d), lambda i, j: (i, j, 0, 0))
+        k_spec = pl.BlockSpec((1, 1, l_k, d), lambda i, j: (i, j, 0, 0))
+        r_spec = pl.BlockSpec((1, 1, l_q, 1), lambda i, j: (i, j, 0, 0))
+        return pl.pallas_call(
+            kern,
+            grid=(b, h),
+            in_specs=[q_spec, k_spec, k_spec, q_spec, r_spec, r_spec],
+            out_specs=[q_spec, k_spec, k_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, l_q, d), q_l.dtype),
+                jax.ShapeDtypeStruct((b, h, l_k, d), k_l.dtype),
+                jax.ShapeDtypeStruct((b, h, l_k, d), v_l.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, l_k, d), k_l.dtype),   # rotating KV
+                pltpu.VMEM((2, 2, l_k, d), jnp.float32),  # rotating dk/dv
+                pltpu.VMEM((l_q, d), jnp.float32),        # local dq
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=8,
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(q_l, k_l, v_l, do_l, lse_l, delta)
+
+    @jax.custom_vjp
+    def _ring(q_l, k_l, v_l):
+        return _fwd_pallas(q_l, k_l, v_l)
+
+    def _ring_f(q_l, k_l, v_l):
+        out, lse = _fwd_pallas(q_l, k_l, v_l)
+        return (out, lse), (q_l, k_l, v_l, out, lse)
+
+    def _ring_b(res, cts):
+        q_l, k_l, v_l, out, lse = res
+        do, _ = cts  # lse cotangent unused (stat output)
+        dq, dk, dv = _bwd_pallas(q_l, k_l, v_l, out, lse, do.astype(q_l.dtype))
+        return dq, dk, dv
+
+    _ring.defvjp(_ring_f, _ring_b)
 
     return shard_map(
-        local,
+        _ring,
         mesh=mesh,
         in_specs=(P(None, None, axis, None),) * 3,
         out_specs=(P(None, None, axis, None), P(None, None, axis, None)),

@@ -102,3 +102,49 @@ def test_flat_neighbor_id_multi_axis_mesh():
         right = di * s * t + ((si + 1) % s) * t + ti
         left = di * s * t + ((si - 1) % s) * t + ti
         assert got[i, 0] == right and got[i, 1] == left, (i, got[i])
+
+
+def test_ring_flash_backward_matches_full(mesh):
+    """RDMA ring backward (rotating dk/dv accumulators) vs dense-attention
+    grads — mirrors ops/sp.py::_ring_bwd semantics."""
+    q, k, v = _qkv()
+    w = jax.random.normal(jax.random.PRNGKey(9), q.shape, jnp.float32)
+
+    def loss_ring(q, k, v):
+        out, _ = ring_flash_attention(
+            q, k, v, mesh, block_q=128, block_k=128, interpret=True
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) * w)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf, name in zip(g_ring, g_ref, "qkv"):
+        err = float(jnp.abs(gr - gf).max())
+        scale = float(jnp.abs(gf).max())
+        assert err < 2e-4 * max(scale, 1.0), (name, err, scale)
+
+
+def test_ring_flash_backward_causal(mesh):
+    """Backward with frame-causal masking at global offsets."""
+    q, k, v = _qkv()
+    w = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32)
+
+    def loss_ring(q, k, v):
+        out, _ = ring_flash_attention(
+            q, k, v, mesh, block_q=128, block_k=128, causal_block=128,
+            interpret=True,
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal_block=128) * w)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf, name in zip(g_ring, g_ref, "qkv"):
+        err = float(jnp.abs(gr - gf).max())
+        scale = float(jnp.abs(gf).max())
+        assert err < 2e-4 * max(scale, 1.0), (name, err, scale)
