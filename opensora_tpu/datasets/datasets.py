@@ -112,7 +112,9 @@ class VideoTextDataset:
             else:
                 fps_raw = float(row.get("fps", 0) or 0)
                 _, interval = du.map_target_fps(fps_raw, self.fps_max)
-                video, fps = du.read_video(path, sampling_interval=interval)
+                from opensora_tpu.datasets.read_video import read_video_any
+
+                video, fps = read_video_any(path, sampling_interval=interval)
                 video = du.temporal_random_crop(video, num_frames, 1, rng)
             video = du.resize_crop(video, (height, width))
             video = du.normalize_video(video)

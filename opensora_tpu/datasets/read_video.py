@@ -1,0 +1,143 @@
+"""PyAV video decode path (gated), with the cv2 reader as fallback.
+
+Behavioral reference: opensora/datasets/read_video.py:18-257 — the reference
+forked torchvision's pyav reader to (1) skip audio, (2) close containers and
+gc.collect() to stop FFmpeg thread/memory leaks across dataloader workers,
+(3) preallocate the frame buffer. Here the same concerns map to:
+
+- leak safety: every ``av.open`` is closed in a ``finally`` and followed by
+  ``gc.collect()`` (pyav's decoder threads outlive the container otherwise);
+- metadata: fps from ``average_rate`` (falling back to guessed/base rate on
+  corrupt headers) and rotation from the stream's rotate tag / display
+  matrix, applied on the decoded frames;
+- URL sources: ``av.open`` accepts http(s) URLs natively (the cv2 path
+  refuses them);
+- corrupt files: ``read_video_safe`` returns None so the dataset's
+  None-filtering collate drops the sample (reference datasets.py behavior).
+
+``av`` is not part of this image's baked environment, so everything is
+import-gated: with no pyav, the cv2 reader (datasets/utils.py) serves all
+local files and the public API here degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import gc
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+MAX_NUM_FRAMES = 2500  # corrupt-header fallback cap (reference read_video.py:15)
+
+
+def have_av() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _stream_rotation(stream) -> int:
+    """Degrees of clockwise display rotation recorded in the stream.
+
+    Checks the classic ``rotate`` metadata tag first, then the display
+    matrix side data (what modern phones write). Any failure → 0."""
+    try:
+        rot = stream.metadata.get("rotate")
+        if rot is not None:
+            return int(float(rot)) % 360
+    except Exception:
+        pass
+    try:  # pyav >= 10 exposes parsed side data
+        for sd in getattr(stream, "side_data", []) or []:
+            ang = getattr(sd, "rotation", None)
+            if ang is not None:
+                return int(ang) % 360
+    except Exception:
+        pass
+    return 0
+
+
+def read_video_av(
+    path: str,
+    max_frames: Optional[int] = None,
+    sampling_interval: int = 1,
+) -> Tuple[np.ndarray, float]:
+    """Decode with pyav → ((C, T, H, W) RGB float32 in [0, 255], fps).
+
+    Accepts local paths and http(s) URLs. Raises on unreadable input
+    (``read_video_safe`` is the non-raising wrapper).
+    """
+    import av
+
+    frames = []
+    fps = 0.0
+    rotation = 0
+    container = None
+    try:
+        container = av.open(path, metadata_errors="ignore")
+        if not container.streams.video:
+            raise IOError(f"no video stream in {path}")
+        stream = container.streams.video[0]
+        rate = stream.average_rate or stream.guessed_rate or stream.base_rate
+        fps = float(rate) if rate else 24.0
+        rotation = _stream_rotation(stream)
+        # tolerate broken frames mid-stream: decode until EOF or cap
+        cap = max_frames * sampling_interval if max_frames else MAX_NUM_FRAMES
+        idx = 0
+        for frame in container.decode(video=0):
+            if idx % sampling_interval == 0:
+                frames.append(frame.to_rgb().to_ndarray())
+                if max_frames is not None and len(frames) >= max_frames:
+                    break
+            idx += 1
+            if idx >= cap:
+                break
+    finally:
+        if container is not None:
+            container.close()
+            del container
+        # FFmpeg decoder threads linger past close(); collect promptly so
+        # long-running dataloader workers don't accumulate them
+        gc.collect()
+    if not frames:
+        raise IOError(f"no frames decoded from {path}")
+    video = np.stack(frames)  # (T, H, W, C) uint8
+    if rotation:
+        # rotate tag is clockwise display rotation; np.rot90 is CCW
+        video = np.ascontiguousarray(np.rot90(video, k=rotation // 90, axes=(2, 1)))
+    return np.transpose(video.astype(np.float32), (3, 0, 1, 2)), fps
+
+
+def read_video_any(
+    path: str,
+    max_frames: Optional[int] = None,
+    sampling_interval: int = 1,
+) -> Tuple[np.ndarray, float]:
+    """pyav when importable (URLs, rotation metadata), else the cv2 reader."""
+    if have_av():
+        return read_video_av(path, max_frames, sampling_interval)
+    if path.startswith(("http://", "https://")):
+        raise NotImplementedError("URL decode requires pyav (not in this image)")
+    from opensora_tpu.datasets.utils import read_video as _cv2_read
+
+    return _cv2_read(path, max_frames, sampling_interval)
+
+
+def read_video_safe(
+    path: str,
+    max_frames: Optional[int] = None,
+    sampling_interval: int = 1,
+) -> Optional[Tuple[np.ndarray, float]]:
+    """None on any decode failure — feeds the None-filtering collate."""
+    try:
+        out = read_video_any(path, max_frames, sampling_interval)
+    except Exception:
+        return None
+    video, fps = out
+    if video.size == 0 or not math.isfinite(fps):
+        return None
+    return out

@@ -136,10 +136,16 @@ def map_target_fps(fps: float, fps_max: int = 16) -> Tuple[float, int]:
 
 
 def read_from_path(path: str, image_size: Tuple[int, int], transform_name: str = "resize_crop") -> np.ndarray:
-    """Read image/video → normalized (C, T, H, W) in [-1, 1]."""
-    if path.startswith("http"):
-        raise NotImplementedError("URL fetch requires network egress")
-    media = read_image(path) if is_img(path) else read_video(path)[0]
+    """Read image/video → normalized (C, T, H, W) in [-1, 1].
+
+    Videos (and http(s) URLs, when pyav is importable) route through
+    datasets/read_video.py — pyav with rotation/fps metadata when present,
+    this module's cv2 reader otherwise."""
+    from opensora_tpu.datasets.read_video import read_video_any
+
+    if path.startswith("http") and is_img(path):
+        raise NotImplementedError("URL image fetch requires network egress")
+    media = read_image(path) if is_img(path) else read_video_any(path)[0]
     if transform_name == "resize_crop":
         media = resize_crop(media, image_size)
     else:
