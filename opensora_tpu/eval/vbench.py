@@ -2,11 +2,11 @@
 
 The reference tracks VBench externally (README.md:290-302); its eval folder
 is not in the tree (SURVEY.md §4), so this harness is written fresh. Three
-model-free/weights-optional dimensions are implemented:
+dimensions are implemented:
 
-- **clip_score**: text-video alignment via our CLIP text tower + a mean-pooled
-  video embedding through the same projection space (meaningful once real
-  CLIP weights are loaded; mechanism is weight-agnostic).
+- **clip_score**: real text-video CLIP similarity through the JAX
+  CLIP ViT-L/14 vision + text towers (eval/clip_scorer.py) — VBench's
+  'overall consistency' recipe; requires local CLIPModel weights.
 - **temporal_consistency**: mean cosine similarity of adjacent frames'
   downsampled luma — VBench's 'temporal flickering' proxy.
 - **motion_magnitude**: mean absolute inter-frame difference — the
@@ -47,35 +47,22 @@ def motion_magnitude(video: np.ndarray) -> float:
     return float(np.abs(v[:, 1:] - v[:, :-1]).mean())
 
 
-def clip_score(video: np.ndarray, text: str, clip_embedder) -> float:
-    """Cosine similarity between the prompt embedding and a mean-pooled
-    frame-patch embedding through the text tower's embedding space.
-
-    A lightweight proxy (VBench uses full CLIP-ViT); exact once image-tower
-    weights land. ``clip_embedder``: HFEmbedder with is_clip=True."""
-    import jax.numpy as jnp
-
-    txt_vec = np.asarray(clip_embedder([text]))[0]
-    txt_vec = txt_vec / (np.linalg.norm(txt_vec) + 1e-8)
-    # video proxy embedding: downsample luma grid → project by hashing into
-    # the embedding dim (deterministic random projection)
-    y = _luma(np.asarray(video, np.float64)).mean(axis=0)  # (H, W)
-    rng = np.random.default_rng(0)
-    proj = rng.normal(size=(y.size, txt_vec.size)) / np.sqrt(y.size)
-    vid_vec = y.reshape(-1) @ proj
-    vid_vec = vid_vec / (np.linalg.norm(vid_vec) + 1e-8)
-    return float(txt_vec @ vid_vec)
+def clip_score(video: np.ndarray, text: str, scorer) -> float:
+    """Text-video CLIP similarity: mean of per-frame ViT embeddings vs the
+    prompt embedding, both through the CLIPModel projection space.
+    ``scorer``: eval/clip_scorer.py::CLIPScorer (real ViT-L/14 towers)."""
+    return float(scorer(video, text))
 
 
-def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_embedder=None) -> Dict[str, float]:
+def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_scorer=None) -> Dict[str, float]:
     out = {
         "temporal_consistency": float(
             np.mean([temporal_consistency(v) for v in videos])
         ),
         "motion_magnitude": float(np.mean([motion_magnitude(v) for v in videos])),
     }
-    if clip_embedder is not None:
+    if clip_scorer is not None:
         out["clip_score"] = float(
-            np.mean([clip_score(v, t, clip_embedder) for v, t in zip(videos, texts)])
+            np.mean([clip_score(v, t, clip_scorer) for v, t in zip(videos, texts)])
         )
     return out

@@ -98,3 +98,89 @@ class CLIPTextModel(nn.Module):
         eot_idx = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
         pooled = x[jnp.arange(b), eot_idx]
         return x, pooled
+
+
+# ----------------------------------------------------------------------
+# CLIP ViT vision tower (for VBench-style clip_score evaluation)
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class CLIPVisionConfig:
+    """CLIP ViT-L/14 defaults (openai/clip-vit-large-patch14 vision side).
+
+    Field names intentionally match CLIPTextConfig's transformer fields so
+    CLIPEncoderLayer is shared between the towers (same block structure in
+    HF's modeling_clip.py)."""
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    image_size: int = 224
+    patch_size: int = 14
+    projection_dim: int = 768
+    layer_norm_eps: float = 1e-5
+    dtype: str = "fp32"
+    param_dtype: str = "fp32"
+
+
+def clip_vision_l_config() -> CLIPVisionConfig:
+    return CLIPVisionConfig()
+
+
+def clip_vision_small_test_config() -> CLIPVisionConfig:
+    return CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_layers=2, num_heads=2,
+        image_size=28, patch_size=14, projection_dim=16,
+    )
+
+
+class CLIPVisionModel(nn.Module):
+    """ViT image encoder: patch conv + [CLS], pre-LN transformer, pooled
+    output = post-LN class token (HF CLIPVisionTransformer semantics —
+    last_hidden_state is returned WITHOUT the post layer norm)."""
+
+    config: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray):
+        cfg = self.config
+        dtype = to_jax_dtype(cfg.dtype)
+        pdtype = to_jax_dtype(cfg.param_dtype)
+        b = pixel_values.shape[0]
+        # (B, 3, H, W) → patches (B, N, hidden); HF conv has no bias
+        x = jnp.transpose(pixel_values, (0, 2, 3, 1)).astype(dtype)
+        x = nn.Conv(
+            cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
+            dtype=dtype, param_dtype=pdtype, name="patch_embedding",
+        )(x)
+        x = x.reshape(b, -1, cfg.hidden_size)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02),
+            (cfg.hidden_size,), pdtype,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(dtype), (b, 1, cfg.hidden_size)), x],
+            axis=1,
+        )
+        n_pos = (cfg.image_size // cfg.patch_size) ** 2 + 1
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(0.02),
+            (n_pos, cfg.hidden_size), pdtype,
+        )
+        x = x + pos[None, : x.shape[1]].astype(dtype)
+        # HF's attribute is literally spelled "pre_layrnorm"
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, param_dtype=pdtype,
+            name="pre_layrnorm",
+        )(x)
+        full = jnp.ones((x.shape[1], x.shape[1]), bool)[None, None]
+        for i in range(cfg.num_layers):
+            x = CLIPEncoderLayer(cfg, name=f"layers_{i}")(x, full)
+        pooled = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, param_dtype=pdtype,
+            name="post_layernorm",
+        )(x[:, 0])
+        return x, pooled

@@ -37,7 +37,8 @@ class ByteFallbackTokenizer:
         self.vocab_size = vocab_size
         self.max_length = max_length
         self.pad_token_id = 0
-        self.eos_token_id = eos_token_id
+        # clamp into vocab: an OOB id NaNs flax.nn.Embed via jnp.take's fill
+        self.eos_token_id = min(eos_token_id, vocab_size - 1)
 
     def __call__(self, texts: List[str], max_length: Optional[int] = None) -> np.ndarray:
         max_length = max_length or self.max_length

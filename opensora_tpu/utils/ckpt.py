@@ -608,3 +608,51 @@ def convert_clip_text_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         }
         i += 1
     return out
+
+
+def convert_clip_vision_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map HF CLIPVisionModel / CLIPModel torch weights into our flax
+    CLIPVisionModel pytree (models/text/clip.py::CLIPVisionModel).
+
+    Accepts either a bare vision tower ("vision_model."-prefixed) or a full
+    CLIPModel dump. torch Conv2d (O, I, kh, kw) → flax (kh, kw, I, O)."""
+    pre = "vision_model."
+
+    def lin(prefix):
+        out = {"kernel": np.ascontiguousarray(sd[pre + prefix + ".weight"].T)}
+        if pre + prefix + ".bias" in sd:
+            out["bias"] = sd[pre + prefix + ".bias"]
+        return out
+
+    def ln(prefix):
+        return {
+            "scale": sd[pre + prefix + ".weight"],
+            "bias": sd[pre + prefix + ".bias"],
+        }
+
+    out: Dict[str, Any] = {
+        "patch_embedding": {
+            "kernel": np.transpose(
+                sd[pre + "embeddings.patch_embedding.weight"], (2, 3, 1, 0)
+            )
+        },
+        "class_embedding": sd[pre + "embeddings.class_embedding"],
+        "position_embedding": sd[pre + "embeddings.position_embedding.weight"],
+        "pre_layrnorm": ln("pre_layrnorm"),
+        "post_layernorm": ln("post_layernorm"),
+    }
+    i = 0
+    while pre + f"encoder.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"encoder.layers.{i}"
+        out[f"layers_{i}"] = {
+            "layer_norm1": ln(f"{p}.layer_norm1"),
+            "layer_norm2": ln(f"{p}.layer_norm2"),
+            "q_proj": lin(f"{p}.self_attn.q_proj"),
+            "k_proj": lin(f"{p}.self_attn.k_proj"),
+            "v_proj": lin(f"{p}.self_attn.v_proj"),
+            "out_proj": lin(f"{p}.self_attn.out_proj"),
+            "fc1": lin(f"{p}.mlp.fc1"),
+            "fc2": lin(f"{p}.mlp.fc2"),
+        }
+        i += 1
+    return out

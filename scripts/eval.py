@@ -34,6 +34,10 @@ def main():
     )
     p.add_argument("--samples", default="samples", help="directory of .mp4/.png samples")
     p.add_argument("--prompts", default=None, help="unused placeholder (prompts are read from per-sample .txt files)")
+    p.add_argument(
+        "--clip", default="./ckpts/clip-vit-large-patch14",
+        help="local HF CLIPModel checkpoint for clip_score (skipped if absent)",
+    )
     args = p.parse_args()
     sample_dir = args.samples
     if not os.path.isdir(sample_dir):
@@ -55,7 +59,10 @@ def main():
         print(json.dumps({"error": f"no samples in {sample_dir}"}))
         return
 
-    report = evaluate_videos(videos, texts)
+    from opensora_tpu.eval.clip_scorer import try_load_scorer
+
+    scorer = try_load_scorer(args.clip)
+    report = evaluate_videos(videos, texts, clip_scorer=scorer)
     report["num_samples"] = len(videos)
 
     # paired orig/recn files → reconstruction metrics (vae inference output)
