@@ -96,6 +96,8 @@ class MMDiTModel(nn.Module):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         self.pe_embedder = EmbedND(axes_dim=cfg.axes_dim, theta=cfg.theta)
+        # (block stacks built via the shared factory so the PP path
+        # constructs byte-identical stage modules — see make_block_scan)
         self.img_in = nn.Dense(cfg.hidden_size, **common)
         self.time_in = MLPEmbedder(cfg.hidden_size, **common)
         self.vector_in = MLPEmbedder(cfg.hidden_size, **common)
@@ -110,50 +112,12 @@ class MMDiTModel(nn.Module):
             )
         self.txt_in = nn.Dense(cfg.hidden_size, **common)
 
-        block_common = dict(
-            hidden_size=cfg.hidden_size,
-            num_heads=cfg.num_heads,
-            mlp_ratio=cfg.mlp_ratio,
-            fused_qkv=cfg.fused_qkv,
-            rope_convention=cfg.rope_convention,
-            attn_backend=cfg.attn_backend,
-            quantized=cfg.quantized,
-            **common,
+        self.double_blocks = make_block_scan(
+            cfg, "double", cfg.depth, name="double_blocks"
         )
-
-        double_cls = _ScannedDoubleStreamBlock
-        single_cls = _ScannedSingleStreamBlock
-        if cfg.remat:
-            policy = {
-                "full": jax.checkpoint_policies.nothing_saveable,
-                "dots": jax.checkpoint_policies.dots_saveable,
-                "offload": jax.checkpoint_policies.save_and_offload_only_these_names(
-                    names_which_can_be_saved=[],
-                    names_which_can_be_offloaded=[],
-                    offload_src="device", offload_dst="pinned_host",
-                ),
-            }.get(cfg.remat_policy, jax.checkpoint_policies.nothing_saveable)
-            double_cls = nn.remat(double_cls, prevent_cse=False, policy=policy)
-            single_cls = nn.remat(single_cls, prevent_cse=False, policy=policy)
-
-        # scan over stacked blocks: carry = streams, broadcast = (vec, pe)
-        self.double_blocks = nn.scan(
-            double_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast),
-            length=cfg.depth,
-            metadata_params={nn.meta.PARTITION_NAME: "layers"},
-        )(qkv_bias=cfg.qkv_bias, **block_common, name="double_blocks")
-
-        self.single_blocks = nn.scan(
-            single_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast),
-            length=cfg.depth_single_blocks,
-            metadata_params={nn.meta.PARTITION_NAME: "layers"},
-        )(**block_common, name="single_blocks")
+        self.single_blocks = make_block_scan(
+            cfg, "single", cfg.depth_single_blocks, name="single_blocks"
+        )
 
         self.final_layer = LastLayer(cfg.in_channels, **common)
 
@@ -213,6 +177,52 @@ class MMDiTModel(nn.Module):
         img = x[:, txt.shape[1]:, ...]
 
         return self.final_layer(img, vec)
+
+
+def make_block_scan(cfg: MMDiTConfig, kind: str, length: int, name=None):
+    """nn.scan-stacked block module of ``length`` blocks — the building
+    block of both the full model (setup) and the opt-in pipeline-parallel
+    stage runner (training/pp.py), which must construct modules with
+    identical param trees so a stage slice of the model's stacked params
+    applies directly."""
+    block_common = dict(
+        hidden_size=cfg.hidden_size,
+        num_heads=cfg.num_heads,
+        mlp_ratio=cfg.mlp_ratio,
+        fused_qkv=cfg.fused_qkv,
+        rope_convention=cfg.rope_convention,
+        attn_backend=cfg.attn_backend,
+        quantized=cfg.quantized,
+        dtype=to_jax_dtype(cfg.dtype),
+        param_dtype=to_jax_dtype(cfg.param_dtype),
+    )
+    if kind == "double":
+        cls = _ScannedDoubleStreamBlock
+        block_common["qkv_bias"] = cfg.qkv_bias
+    elif kind == "single":
+        cls = _ScannedSingleStreamBlock
+    else:
+        raise ValueError(kind)
+    if cfg.remat:
+        policy = {
+            "full": jax.checkpoint_policies.nothing_saveable,
+            "dots": jax.checkpoint_policies.dots_saveable,
+            "offload": jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=[],
+                offload_src="device", offload_dst="pinned_host",
+            ),
+        }.get(cfg.remat_policy, jax.checkpoint_policies.nothing_saveable)
+        cls = nn.remat(cls, prevent_cse=False, policy=policy)
+    # scan over stacked blocks: carry = streams, broadcast = (vec, pe)
+    return nn.scan(
+        cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast, nn.broadcast),
+        length=length,
+        metadata_params={nn.meta.PARTITION_NAME: "layers"},
+    )(**block_common, name=name)
 
 
 class _ScannedDoubleStreamBlock(DoubleStreamBlock):

@@ -32,9 +32,9 @@ def batch_sharding(mesh: Mesh, key: str, shape) -> NamedSharding:
     when the key is a token tensor and its length divides the sp axis
     (seq_align guarantees this for txt; img tokens fall back to replicated
     tokens otherwise — correct, just less sharded)."""
-    sp = mesh.shape[SP_AXIS]
+    sp = mesh.shape.get(SP_AXIS, 0)  # 0: no sp axis (e.g. a (data, pp) mesh)
     ndim = len(shape)
-    if key in TOKEN_KEYS and ndim >= 2 and shape[1] % sp == 0:
+    if key in TOKEN_KEYS and ndim >= 2 and sp and shape[1] % sp == 0:
         return NamedSharding(mesh, P(DATA_AXIS, SP_AXIS, *([None] * (ndim - 2))))
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 

@@ -61,73 +61,96 @@ def pipeline_spec(params: Any, axis: str = "pp") -> Any:
 
 
 def pipeline_apply(
-    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stage_fn: Callable[..., Any],
     stage_params: Any,
-    x_mb: jnp.ndarray,
+    x_mb: Any,
     *,
     mesh: Mesh,
     axis: str = "pp",
-) -> jnp.ndarray:
-    """Run ``x_mb`` (n_micro, ...) through all pipeline stages.
+    const: Any = None,
+    batch_spec: P = P(),
+) -> Any:
+    """Run ``x_mb`` (a pytree of (n_micro, ...) arrays) through all stages.
 
     ``stage_params``: pytree with leading stage axis S == mesh.shape[axis],
-    sharded (or shardable) over ``axis``. ``stage_fn(params_s, x) -> y`` maps
-    one microbatch through one stage's layers (e.g. an inner ``lax.scan``
-    over that stage's blocks); activations must keep a constant shape across
-    stages. Returns (n_micro, ...) outputs, replicated over ``axis``.
+    sharded (or shardable) over ``axis``. ``stage_fn(params_s, x)`` (or
+    ``stage_fn(params_s, x, const)`` when ``const`` is given) maps one
+    microbatch through one stage's layers (e.g. an inner ``lax.scan`` over
+    that stage's blocks); the output pytree must match ``x``'s structure and
+    shapes (constant activation shape across stages). ``const`` is a pytree
+    broadcast unchanged to every stage call (RoPE tables etc.). ``batch_spec``
+    shards every activation leaf — e.g. ``P(None, 'data')`` keeps data
+    parallelism over the microbatch's batch dim on a (data, pp) mesh.
+    Returns the (n_micro, ...) output pytree, replicated over ``axis``.
 
     Differentiable: ``jax.grad`` of a loss of the output produces the
     reverse (backward) pipeline over the same mesh axis.
     """
     n_stages = mesh.shape[axis]
-    n_micro = x_mb.shape[0]
+    n_micro = jax.tree.leaves(x_mb)[0].shape[0]
     n_ticks = n_micro + n_stages - 1
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-    def _pipelined(params_local, x_local):
+    def _pipelined(params_local, x_local, const_local):
         # shard_map gives a leading local stage axis of size 1 — drop it.
         params_local = jax.tree.map(lambda p: p[0], params_local)
         sid = lax.axis_index(axis)
+
+        def run_stage(p, x):
+            return stage_fn(p, x) if const is None else stage_fn(p, x, const_local)
 
         def tick(carry, t):
             recv, outs = carry
             # stage 0 injects microbatch t (while t < n_micro); others use
             # the activation received from the previous stage.
             mb_idx = jnp.minimum(t, n_micro - 1)
-            inject = x_local[mb_idx]
-            act_in = jnp.where(sid == 0, inject, recv)
-            act_out = stage_fn(params_local, act_in)
+            inject = jax.tree.map(lambda a: a[mb_idx], x_local)
+            act_in = jax.tree.map(
+                lambda i, r: jnp.where(sid == 0, i, r), inject, recv
+            )
+            act_out = run_stage(params_local, act_in)
             # last stage commits microbatch (t - (S-1)) when it's valid.
             out_idx = t - (n_stages - 1)
             valid = (out_idx >= 0) & (out_idx < n_micro)
+            idx = jnp.maximum(out_idx, 0)
             outs = lax.cond(
                 valid,
-                lambda o: lax.dynamic_update_index_in_dim(
-                    o, act_out.astype(o.dtype), jnp.maximum(out_idx, 0), 0
+                lambda o: jax.tree.map(
+                    lambda oo, a: lax.dynamic_update_index_in_dim(
+                        oo, a.astype(oo.dtype), idx, 0
+                    ),
+                    o, act_out,
                 ),
                 lambda o: o,
                 outs,
             )
-            recv = lax.ppermute(act_out, axis, perm)
+            recv = jax.tree.map(lambda a: lax.ppermute(a, axis, perm), act_out)
             return (recv, outs), None
 
-        outs0 = jnp.zeros_like(x_local)
-        recv0 = jnp.zeros_like(x_local[0])
+        outs0 = jax.tree.map(jnp.zeros_like, x_local)
+        recv0 = jax.tree.map(lambda a: jnp.zeros_like(a[0]), x_local)
         (_, outs), _ = lax.scan(tick, (recv0, outs0), jnp.arange(n_ticks))
         # outs is populated only on the last stage; broadcast it to all
         # stages so the result is replicated over the pp axis.
-        outs = lax.psum(
-            jnp.where(sid == n_stages - 1, outs, jnp.zeros_like(outs)), axis
+        outs = jax.tree.map(
+            lambda o: lax.psum(
+                jnp.where(sid == n_stages - 1, o, jnp.zeros_like(o)), axis
+            ),
+            outs,
         )
         return outs
 
     return shard_map(
         _pipelined,
         mesh=mesh,
-        in_specs=(pipeline_spec(stage_params, axis), P()),
-        out_specs=P(),
+        in_specs=(
+            pipeline_spec(stage_params, axis),
+            jax.tree.map(lambda _: batch_spec, x_mb),
+            jax.tree.map(lambda _: P(), const),
+        ),
+        out_specs=jax.tree.map(lambda _: batch_spec, x_mb),
         check_vma=False,
-    )(stage_params, x_mb)
+    )(stage_params, x_mb, const)
 
 
 def create_pipeline_mesh(pp_size: int, data_size: int = 1, axis: str = "pp") -> Mesh:

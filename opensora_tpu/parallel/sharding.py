@@ -105,10 +105,20 @@ def token_sharded_spec() -> P:
 
 
 def constrain(x, spec: P):
-    """with_sharding_constraint that no-ops outside a mesh context."""
+    """with_sharding_constraint that no-ops outside a mesh context.
+
+    Spec axes absent from the active mesh degrade to None (replicated) so the
+    model's canonical (data, sp, tp) layout hints stay valid on reduced
+    meshes — e.g. the pipeline path's (data, pp) mesh."""
     from opensora_tpu.parallel.context import get_mesh
 
     mesh = get_mesh()
     if mesh is None:
         return x
+
+    def keep(axis):
+        names = axis if isinstance(axis, tuple) else (axis,)
+        return all(n in mesh.shape for n in names)
+
+    spec = P(*(a if (a is None or keep(a)) else None for a in spec))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

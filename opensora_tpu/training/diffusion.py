@@ -98,8 +98,14 @@ def make_train_step(
     use_masked_loss: bool = False,
     patch_size: int = 2,
     lora_scale: float = 1.0,
+    forward_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted rectified-flow train step.
+
+    ``forward_fn(params, **model_kwargs) -> pred`` overrides the plain
+    ``model.apply`` forward — e.g. the pipeline-parallel MMDiT forward
+    (training/pp.py::make_pp_forward). Loss/EMA/optimizer logic is shared,
+    so parity between the two is a test of the forward alone.
 
     LoRA fine-tuning (reference scripts/diffusion/train.py:198-217 via peft):
     pass the frozen base params as a 4th argument to the returned step; then
@@ -140,8 +146,11 @@ def make_train_step(
             txt = dropout_condition(r_txt, text_dropout_prob, txt, batch["null_txt"])
             y_vec = dropout_condition(r_vec, text_dropout_prob, y_vec, batch["null_vec"])
 
-        pred = model.apply(
-            {"params": params},
+        apply = forward_fn if forward_fn is not None else (
+            lambda p, **kw: model.apply({"params": p}, **kw)
+        )
+        pred = apply(
+            params,
             img=x_t.astype(txt.dtype),
             img_ids=batch["img_ids"],
             txt=txt,
@@ -187,12 +196,15 @@ def make_train_step(
 
 def jit_train_step(
     train_step, mesh: Mesh, state: TrainState, fsdp: bool = True,
-    frozen_shardings=None,
+    frozen_shardings=None, st_shard=None,
 ):
     """jit with explicit in/out shardings over the mesh. Batch arrays carry
     their own shardings (in_shardings=None → inferred). For LoRA, pass the
-    frozen base params' shardings and call the step with 4 arguments."""
-    st_shard = state_shardings(mesh, state, fsdp=fsdp)
+    frozen base params' shardings and call the step with 4 arguments.
+    ``st_shard`` overrides the default TP/FSDP state layout — e.g. the
+    pipeline-parallel stage layout (training/pp.py::pp_state_shardings)."""
+    if st_shard is None:
+        st_shard = state_shardings(mesh, state, fsdp=fsdp)
     in_shardings = (st_shard, None, None)
     if frozen_shardings is not None:
         in_shardings = in_shardings + (frozen_shardings,)

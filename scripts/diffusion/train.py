@@ -63,7 +63,23 @@ def main():
     logger = create_logger(exp_dir)
     logger.info("experiment dir: %s", exp_dir)
 
-    mesh = create_mesh(MeshConfig(**cfg.get("mesh", {})))
+    # opt-in pipeline parallelism (reference HybridParallelPlugin pp_size,
+    # scripts/diffusion/train.py:442-458): a (data, pp) mesh replaces the
+    # default (data, sp, tp) GSPMD mesh; block stacks shard over 'pp' and the
+    # forward runs the GPipe schedule (training/pp.py). GSPMD is the default.
+    pp_cfg = cfg.get("pipeline")
+    if pp_cfg:
+        from opensora_tpu.training.pp import (
+            create_pp_mesh,
+            make_pp_forward,
+            pp_state_shardings,
+        )
+
+        pp_size = pp_cfg["pp_size"]
+        data_size = pp_cfg.get("data_size") or jax.device_count() // pp_size
+        mesh = create_pp_mesh(pp=pp_size, data=data_size)
+    else:
+        mesh = create_mesh(MeshConfig(**cfg.get("mesh", {})))
     set_mesh(mesh)
     logger.info("mesh: %s", mesh)
 
@@ -90,8 +106,9 @@ def main():
     # init params on a representative tiny shape (shape-polymorphic weights);
     # in-model sharding constraints need batch/tokens divisible by the mesh
     B0 = mesh.shape["data"]
-    L0 = 16 * mesh.shape["sp"]
-    Lt0 = 8 * mesh.shape["sp"]
+    sp0 = mesh.shape.get("sp", 1)  # absent on the (data, pp) pipeline mesh
+    L0 = 16 * sp0
+    Lt0 = 8 * sp0
     init_args = (
         jnp.zeros((B0, L0, mcfg.in_channels), jnp.float32),
         jnp.zeros((B0, L0, 3)),
@@ -122,7 +139,16 @@ def main():
     else:
         params = model.init(rng, *init_args)["params"]
     logger.info("MMDiT params: %s", format_numel(count_params(params)))
-    param_shardings = make_shardings(mesh, mmdit_param_specs(params, fsdp=True))
+    if pp_cfg:
+        from jax.sharding import NamedSharding
+
+        from opensora_tpu.training.pp import pp_param_specs
+
+        param_shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), pp_param_specs(params)
+        )
+    else:
+        param_shardings = make_shardings(mesh, mmdit_param_specs(params, fsdp=True))
     params = jax.device_put(params, param_shardings)
 
     # LoRA fine-tuning (reference train.py:198-217, peft LoraConfig): the
@@ -179,7 +205,17 @@ def main():
     # no EMA under LoRA (reference train.py:198-205: EMA only without LoRA)
     use_ema = cfg.get("ema_decay", 0.9999) is not None and not lora_cfg
     state = TrainState.create(params, tx, ema=use_ema)
-    state, _ = shard_state(mesh, state, fsdp=True)
+    st_shard = None
+    if pp_cfg:
+        if lora_cfg:
+            raise NotImplementedError(
+                "pipeline + lora_config is unsupported — LoRA finetuning "
+                "fits without PP (factors are tiny); use the GSPMD mesh"
+            )
+        st_shard = pp_state_shardings(mesh, state)
+        state = jax.device_put(state, st_shard)
+    else:
+        state, _ = shard_state(mesh, state, fsdp=True)
     log_device_memory("post-state", logger)
 
     train_step = make_train_step(
@@ -190,10 +226,14 @@ def main():
         use_masked_loss=cfg.get("condition_config") is not None,
         patch_size=patch_size,
         lora_scale=lora_scale,
+        forward_fn=make_pp_forward(
+            model, mesh, n_micro=pp_cfg.get("n_micro", 2 * pp_size)
+        ) if pp_cfg else None,
     )
     step_fn = jit_train_step(
         train_step, mesh, state, fsdp=True,
         frozen_shardings=param_shardings if lora_cfg else None,
+        st_shard=st_shard,
     )
     step_extra = (base_params,) if lora_cfg else ()
 

@@ -102,6 +102,27 @@ def _latest_ckpt(exp_dir):
     return max(dirs, key=lambda d: int(d.rsplit("global_step", 1)[1]))
 
 
+def test_pipeline_parallel_train_cli(tmp_path):
+    """Opt-in PP through the CLI config surface: a (data=2, pp=2) mesh,
+    depth 2/2 sliced one block per stage, GPipe forward inside the same
+    train step (reference HybridParallelPlugin pp_size,
+    scripts/diffusion/train.py:442-458)."""
+    csv = _write_videos(str(tmp_path / "videos"))
+    out_root = str(tmp_path / "out")
+    cfg = _write_cfg(
+        str(tmp_path / "cfg_pp.py"), csv, out_root, "pp", epochs=2,
+        extra=(
+            "model = dict(depth=2, depth_single_blocks=2)\n"
+            "bucket_config = {'64px': {5: (1.0, 4)}}\n"
+            "pipeline = dict(pp_size=2, data_size=2, n_micro=2)\n"
+        ),
+    )
+    _run_train(cfg)
+    losses, log = _read_losses(os.path.join(out_root, "pp"))
+    assert len(losses) >= 2 and np.isfinite(losses).all()
+    assert "'pp': 2" in log or "pp=2" in log or "pp" in log
+
+
 def test_finetune_loop_pretrained_and_lora(tmp_path):
     csv = _write_videos(str(tmp_path / "videos"))
     out_root = str(tmp_path / "out")
