@@ -63,6 +63,21 @@ def scaled_dot_product_attention(
         return flash_attention(q, k, v, causal_block=causal_block)
     if backend == "pallas_interpret":
         return flash_attention(q, k, v, causal_block=causal_block, interpret=True)
+    if backend in ("int8", "int8_qk8"):
+        # serving-only int8-MXU attention (ops/int8_flash.py): "int8" runs
+        # both matmuls int8, "int8_qk8" keeps P.V in bf16 (tighter error,
+        # and the faster of the two on v5e — the kernel is VPU-bound, so
+        # quantizing P costs more vector ops than the int8 PV matmul saves)
+        from opensora_tpu.ops.int8_flash import int8_flash_attention
+
+        assert causal_block is None, "int8 attention is bidirectional-only"
+        l_q, l_k, d = q.shape[2], k.shape[2], q.shape[-1]
+        if min(l_q, l_k) < 128 or d % 128:
+            return xla_attention(q, k, v, causal_block=causal_block)
+        return int8_flash_attention(
+            q, k, v, pv_int8=(backend == "int8"),
+            interpret=not _on_tpu(),
+        )
     if backend == "xla":
         return xla_attention(q, k, v, causal_block=causal_block)
     raise ValueError(f"unknown attention backend {backend!r}")

@@ -41,13 +41,14 @@ DEFAULT_BLOCK_K = 1024
 
 
 def pick_blocks(q_len: int, kv_len: int) -> tuple[int, int]:
-    """Static block-size heuristic, measured on v5e (NOTES_r1.md sweep):
-    bk=1536 beats 1024 at every length tried (L=2816: 91 vs 84 TFLOP/s;
-    L=8828: 112 vs 92); bq=768 edges out 512 only for long sequences.
-    block_k=2048 hangs the Mosaic compiler >1h — never use it. Shorter
-    sequences shrink blocks so the grid still has parallelism."""
+    """Static block-size heuristic, measured on v5e (NOTES_r1.md sweep +
+    round-2 re-sweep): bk=1536 beats 1024 at every length tried (L=2816:
+    91 vs 84 TFLOP/s; L=8828: 112 vs 92); bq=1024 edges out 768 at long
+    sequences (114.3 vs 112.3 at L=8828). block_k=2048 hangs the Mosaic
+    compiler >1h — never use it. Shorter sequences shrink blocks so the
+    grid still has parallelism."""
     if q_len >= 8192:
-        bq = 768
+        bq = 1024
     elif q_len >= 1024:
         bq = 512
     else:
@@ -72,17 +73,21 @@ def _zero_tail_rows(x, blk_idx, block, valid_len):
     rows = blk_idx * block + lax.broadcasted_iota(jnp.int32, x.shape, 0)
     return jnp.where(rows < valid_len, x, jnp.zeros_like(x))
 
-def _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block):
-    """Apply tail-padding + frame-causal masks to a (bq, bk) score tile."""
+def _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block,
+                 mask_val=NEG_INF):
+    """Apply tail-padding + frame-causal masks to a (bq, bk) score tile.
+
+    ``mask_val``: pass NEG_INF / sm_scale when masking PRE-scale scores so
+    the post-scale value is exactly NEG_INF (see _fwd_kernel)."""
     bq, bk = s.shape
     need_tail = kv_len % block_k != 0
     if need_tail or causal_block is not None:
         col = ki * block_k + lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     if need_tail:
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        s = jnp.where(col < kv_len, s, mask_val)
     if causal_block is not None:
         row = qi * block_q + lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        s = jnp.where(col // causal_block <= row // causal_block, s, NEG_INF)
+        s = jnp.where(col // causal_block <= row // causal_block, s, mask_val)
     return s
 
 
@@ -111,17 +116,23 @@ def _fwd_kernel(
     s = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * sm_scale
-    s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block)
+    # sm_scale is folded into the exp as an FMA (exp(s*c - m) is one
+    # mul-add + exp instead of mul, then sub, then exp) and into the
+    # (bq, 1) running-max lane instead of the (bq, bk) tile — this kernel
+    # is VPU-bound (~6 vector ops per logit against a half-idle MXU), so
+    # one fewer per-logit op is a direct win. Masking happens pre-scale
+    # with NEG_INF/sm_scale so every threshold below stays unchanged.
+    s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block,
+                     mask_val=NEG_INF / sm_scale)
 
     m_prev = m_scr[:, :1]
     l_prev = l_scr[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_cur = jnp.max(s, axis=-1, keepdims=True) * sm_scale
     m_new = jnp.maximum(m_prev, m_cur)
     # guard fully-masked tiles: exp(NEG_INF - NEG_INF) would be 1, poisoning
     # l/acc; anchor the exponent at 0 when the whole row is still masked.
     m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
-    p = jnp.exp(s - m_safe)
+    p = jnp.exp(s * sm_scale - m_safe)
     correction = jnp.exp(m_prev - m_safe)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
 

@@ -98,12 +98,13 @@ def suite_step():
     from opensora_tpu.models.mmdit.model import MMDiTConfig, MMDiTModel
     from opensora_tpu.utils.sampling import build_img_ids
 
-    for mode in (True, "w8a8"):
+    for mode, attn in ((True, None), ("w8a8", None), ("w8a8", "int8_qk8")):
         cfg = MMDiTConfig(
             in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
             mlp_ratio=4.0, num_heads=24, depth=19, depth_single_blocks=38,
             axes_dim=[16, 56, 56], qkv_bias=True, guidance_embed=True, cond_embed=True,
             dtype="bf16", param_dtype="bf16", quantized=mode,
+            **({"attn_backend": attn} if attn else {}),
         )
         model = MMDiTModel(cfg)
         B, lt, lh, lw, tl = 3, 33, 24, 42, 512
@@ -121,8 +122,122 @@ def suite_step():
             jax, lambda v, *a: model.apply(v, *a), variables, *args,
             flops=1.0, n2=12,
         )
-        print(f"11B step quantized={mode!r}: {dt:.3f} s", flush=True)
+        print(f"11B step quantized={mode!r} attn={attn or 'pallas'}: {dt:.3f} s",
+              flush=True)
+        del variables
+        # barrier: params must actually free before the next mode allocates
+        # (buffers alloc at enqueue time; the host races ahead otherwise)
+        jax.device_get(jnp.zeros(()) + 1.0)
+
+
+def suite_w8a8_breakdown():
+    """Where does the 3.38 s W8A8 step go? Times the in-model components at
+    the exact 129f/256px serving shapes: flash attention at L_tot = 9340
+    (8828 img + 512 txt, every one of the 57 blocks attends over the concat)
+    and every QuantDense shape through the real w8a8 path (activation
+    row-max quant preamble + int8 dot + fp32 rescale epilogue)."""
+    jax = _setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opensora_tpu.ops.flash_attention import flash_attention
+    from opensora_tpu.ops.quant import QuantDense
+
+    B, H, L, D = 3, 24, 9340, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, L, D), jnp.bfloat16) for kk in ks)
+    fl = 4.0 * B * H * L * L * D
+    dt_att, tf = _bench(jax, lambda q, k, v: flash_attention(q, k, v), q, k, v, flops=fl)
+    print(f"flash @ (3,24,{L},128): {dt_att * 1e3:.1f} ms {tf:.1f} TFLOP/s "
+          f"-> x57 = {57 * dt_att:.2f} s/step", flush=True)
+
+    # (count per step, M, K, N) for every quantized dense in the model
+    M_img, M_txt, M_all = 3 * 8828, 3 * 512, 3 * 9340
+    shapes = [
+        ("dbl img qkv", 19, M_img, 3072, 9216),
+        ("dbl img proj", 19, M_img, 3072, 3072),
+        ("dbl img mlp0", 19, M_img, 3072, 12288),
+        ("dbl img mlp2", 19, M_img, 12288, 3072),
+        ("dbl txt qkv", 19, M_txt, 3072, 9216),
+        ("dbl txt proj", 19, M_txt, 3072, 3072),
+        ("dbl txt mlp0", 19, M_txt, 3072, 12288),
+        ("dbl txt mlp2", 19, M_txt, 12288, 3072),
+        ("sgl linear1", 38, M_all, 3072, 21504),
+        ("sgl linear2", 38, M_all, 15360, 3072),
+    ]
+    rng = np.random.default_rng(0)
+    total_dense = 0.0
+    for name, count, M, K, N in shapes:
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32), jnp.bfloat16)
+        layer = QuantDense(N, use_bias=True, mode="w8a8")
+        params = {
+            "kernel_q": jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8),
+            "kernel_scale": jnp.full((N,), 0.01, jnp.float32),
+            "bias": jnp.zeros((N,), jnp.float32),
+        }
+        dt, tops = _bench(
+            jax, lambda p, xx: layer.apply({"params": p}, xx), params, x,
+            flops=2.0 * M * K * N, n2=12,
+        )
+        total_dense += count * dt
+        print(f"{name}: {dt * 1e3:.2f} ms {tops:.0f} TOPS-equiv "
+              f"-> x{count} = {count * dt * 1e3:.0f} ms", flush=True)
+    print(f"dense total {total_dense:.2f} s + attention {57 * dt_att:.2f} s "
+          f"= {total_dense + 57 * dt_att:.2f} s (measured step 3.38 s)", flush=True)
+
+
+def suite_int8_flash():
+    """bf16 flash vs int8 flash (full / qk8) at the 129f serving shape,
+    over candidate block sizes. Also prints on-chip error vs the bf16
+    kernel at a smaller shape (the interpret-mode bounds live in
+    tests/test_int8_flash.py; this confirms real-MXU int8 behaves)."""
+    jax = _setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opensora_tpu.ops.flash_attention import flash_attention
+    from opensora_tpu.ops.int8_flash import int8_flash_attention
+
+    B, H, L, D = 3, 24, 9340, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, L, D), jnp.bfloat16) for kk in ks)
+    fl = 4.0 * B * H * L * L * D
+
+    dt, tf = _bench(jax, lambda q, k, v: flash_attention(q, k, v), q, k, v, flops=fl)
+    print(f"bf16 flash: {dt * 1e3:.1f} ms {tf:.1f} TFLOP/s", flush=True)
+    for pv_int8 in (True, False):
+        for bq, bk in [(768, 1536), (1024, 1536), (512, 1024)]:
+            dt, tf = _bench(
+                jax,
+                lambda q, k, v, bq=bq, bk=bk, p=pv_int8: int8_flash_attention(
+                    q, k, v, block_q=bq, block_k=bk, pv_int8=p
+                ),
+                q, k, v, flops=fl,
+            )
+            tag = "full" if pv_int8 else "qk8"
+            print(f"int8 {tag} ({bq},{bk}): {dt * 1e3:.1f} ms {tf:.1f} TFLOP/s-equiv",
+                  flush=True)
+
+    # on-chip error check vs f32-accum xla at a small shape
+    from opensora_tpu.ops.attention import xla_attention
+
+    Bs, Hs, Ls = 2, 4, 1024
+    ks2 = jax.random.split(jax.random.PRNGKey(1), 3)
+    qs, ks_, vs = (jax.random.normal(kk, (Bs, Hs, Ls, D), jnp.bfloat16) for kk in ks2)
+    ref = np.asarray(xla_attention(qs.astype(jnp.float32), ks_.astype(jnp.float32),
+                                   vs.astype(jnp.float32)))
+    for pv_int8 in (True, False):
+        got = np.asarray(int8_flash_attention(qs, ks_, vs, pv_int8=pv_int8),
+                         np.float32)
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        print(f"on-chip rel-L2 ({'full' if pv_int8 else 'qk8'}): {rel:.4f}", flush=True)
 
 
 if __name__ == "__main__":
-    {"flash": suite_flash, "matmul": suite_matmul, "step": suite_step}[sys.argv[1]]()
+    {
+        "flash": suite_flash,
+        "matmul": suite_matmul,
+        "step": suite_step,
+        "w8a8b": suite_w8a8_breakdown,
+        "int8flash": suite_int8_flash,
+    }[sys.argv[1]]()
