@@ -310,6 +310,12 @@ def main():
             "tokens": 3 * (33 * 12 * 21 + 512),
             "w8a8_quality": "1.3% rel L2 vs fp32 at realistic stats "
                             "(tests/test_quant.py), headline promoted round 2",
+            # opt-in int8-MXU attention (configs/diffusion/inference/
+            # 256px_int8attn.py, ops/int8_flash.py): measured 3.312 s/step
+            # (scripts/microbench.py step), ~0.9% extra rel L2 per
+            # attention call — not the headline until validated on real
+            # weights
+            "attn_int8_qk8_step_s": 3.312,
         },
     }))
 

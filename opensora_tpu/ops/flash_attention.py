@@ -40,15 +40,17 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 
 
-def pick_blocks(q_len: int, kv_len: int) -> tuple[int, int]:
+def pick_blocks(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
     """Static block-size heuristic, measured on v5e (NOTES_r1.md sweep +
     round-2 re-sweep): bk=1536 beats 1024 at every length tried (L=2816:
     91 vs 84 TFLOP/s; L=8828: 112 vs 92); bq=1024 edges out 768 at long
-    sequences (114.3 vs 112.3 at L=8828). block_k=2048 hangs the Mosaic
-    compiler >1h — never use it. Shorter sequences shrink blocks so the
-    grid still has parallelism."""
+    sequences (114.3 vs 112.3 at L=8828) but ONLY at head_dim 128 — at the
+    VAE mid-block's head_dim 512 the (1024, 1536) tile set overflows the
+    16 MB scoped VMEM budget (observed: 16.87M at L=13056), so wide heads
+    stay at 768. block_k=2048 hangs the Mosaic compiler >1h — never use
+    it. Shorter sequences shrink blocks so the grid still has parallelism."""
     if q_len >= 8192:
-        bq = 1024
+        bq = 1024 if dim <= 128 else 768
     elif q_len >= 1024:
         bq = 512
     else:
@@ -324,7 +326,7 @@ def partial_flash_backward(
     (reference bwd ring, distributed.py:316-373)."""
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2])
+    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2], q.shape[-1])
     return _flash_backward_impl(
         q, k, v, lse, do, delta,
         sm_scale=sm_scale, block_q=block_q or auto_bq,
@@ -478,7 +480,7 @@ def flash_attention(
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2])
+    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2], q.shape[-1])
     return _flash_attention(
         q, k, v, sm_scale, block_q or auto_bq, block_k or auto_bk,
         causal_block, interpret,
@@ -496,7 +498,7 @@ def flash_attention_with_lse(
     """Forward-only variant returning (out, lse) for ring-attention merging."""
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2])
+    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2], q.shape[-1])
     return _flash_forward(
         q, k, v,
         sm_scale=sm_scale, block_q=block_q or auto_bq, block_k=block_k or auto_bk,

@@ -157,7 +157,7 @@ def int8_flash_attention(
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2])
+    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2], q.shape[-1])
     block_q = block_q or auto_bq
     block_k = block_k or auto_bk
 
