@@ -55,7 +55,10 @@ def _stream_rotation(stream) -> int:
         for sd in getattr(stream, "side_data", []) or []:
             ang = getattr(sd, "rotation", None)
             if ang is not None:
-                return int(ang) % 360
+                # display-matrix rotation (av_display_rotation_get) is
+                # COUNTERclockwise-positive, the classic rotate tag is
+                # clockwise-positive — negate to the tag convention
+                return (-int(ang)) % 360
     except Exception:
         pass
     return 0
@@ -85,17 +88,32 @@ def read_video_av(
         rate = stream.average_rate or stream.guessed_rate or stream.base_rate
         fps = float(rate) if rate else 24.0
         rotation = _stream_rotation(stream)
-        # tolerate broken frames mid-stream: decode until EOF or cap
-        cap = max_frames * sampling_interval if max_frames else MAX_NUM_FRAMES
+        # cap semantics (reference read_video.py:15): MAX_NUM_FRAMES is a
+        # CORRUPT-HEADER fallback only — when the container carries a frame
+        # count, trust EOF so long videos are not silently truncated (the
+        # cv2 fallback has no cap either)
+        if max_frames is not None:
+            cap = max_frames * sampling_interval
+        elif getattr(stream, "frames", 0):
+            cap = None
+        else:
+            cap = MAX_NUM_FRAMES
         idx = 0
-        for frame in container.decode(video=0):
-            if idx % sampling_interval == 0:
-                frames.append(frame.to_rgb().to_ndarray())
-                if max_frames is not None and len(frames) >= max_frames:
+        try:
+            for frame in container.decode(video=0):
+                if idx % sampling_interval == 0:
+                    frames.append(frame.to_rgb().to_ndarray())
+                    if max_frames is not None and len(frames) >= max_frames:
+                        break
+                idx += 1
+                if cap is not None and idx >= cap:
                     break
-            idx += 1
-            if idx >= cap:
-                break
+        except Exception:
+            # tolerate broken packets mid-stream: keep the frames decoded
+            # before the error (reference reader behavior); a video with no
+            # decodable frames still raises below
+            if not frames:
+                raise
     finally:
         if container is not None:
             container.close()

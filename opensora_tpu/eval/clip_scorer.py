@@ -143,11 +143,17 @@ class CLIPScorer:
         )
 
     def embed_video(self, video: np.ndarray, max_frames: int = 8) -> np.ndarray:
-        """Mean of per-frame projected embeddings, L2-normalized."""
-        px = preprocess_frames(video, self.vision_model.config.image_size)
-        t = px.shape[0]
+        """Mean of per-frame L2-normalized projected embeddings.
+
+        NOT renormalized: its dot with a unit text vector is then exactly
+        the mean of per-frame cosines (the CLIPScore definition) — an extra
+        normalization would inflate diverse-frame videos by 1/||mean||."""
+        t = video.shape[1]
         idx = np.linspace(0, t - 1, min(t, max_frames)).round().astype(int)
-        pooled = np.asarray(self._embed_frames(px[idx]), np.float32)
+        # subsample BEFORE the resize/normalize — preprocessing the frames
+        # that are about to be dropped is pure waste
+        px = preprocess_frames(video[:, idx], self.vision_model.config.image_size)
+        pooled = np.asarray(self._embed_frames(px), np.float32)
         emb = pooled @ self.visual_proj
         emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
         return emb.mean(axis=0)
@@ -173,9 +179,8 @@ class CLIPScorer:
         return emb / (np.linalg.norm(emb) + 1e-8)
 
     def __call__(self, video: np.ndarray, text: str) -> float:
-        v = self.embed_video(video)
-        v = v / (np.linalg.norm(v) + 1e-8)
-        return float(v @ self.embed_text(text))
+        """Mean frame-text cosine (standard CLIPScore, without the max(0,·))."""
+        return float(self.embed_video(video) @ self.embed_text(text))
 
 
 def try_load_scorer(path: Optional[str]) -> Optional[CLIPScorer]:

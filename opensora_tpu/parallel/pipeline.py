@@ -67,21 +67,22 @@ def pipeline_apply(
     *,
     mesh: Mesh,
     axis: str = "pp",
-    const: Any = None,
     batch_spec: P = P(),
 ) -> Any:
     """Run ``x_mb`` (a pytree of (n_micro, ...) arrays) through all stages.
 
     ``stage_params``: pytree with leading stage axis S == mesh.shape[axis],
-    sharded (or shardable) over ``axis``. ``stage_fn(params_s, x)`` (or
-    ``stage_fn(params_s, x, const)`` when ``const`` is given) maps one
+    sharded (or shardable) over ``axis``. ``stage_fn(params_s, x)`` maps one
     microbatch through one stage's layers (e.g. an inner ``lax.scan`` over
     that stage's blocks); the output pytree must match ``x``'s structure and
-    shapes (constant activation shape across stages). ``const`` is a pytree
-    broadcast unchanged to every stage call (RoPE tables etc.). ``batch_spec``
-    shards every activation leaf — e.g. ``P(None, 'data')`` keeps data
-    parallelism over the microbatch's batch dim on a (data, pp) mesh.
-    Returns the (n_micro, ...) output pytree, replicated over ``axis``.
+    shapes (constant activation shape across stages). Per-sample state the
+    stages need but don't update (RoPE tables, the conditioning vector)
+    belongs IN ``x_mb``, returned unchanged — broadcasting it replicated
+    would leak the full batch dim into each microbatch (training/pp.py).
+    ``batch_spec`` shards every activation leaf — e.g. ``P(None, 'data')``
+    keeps data parallelism over the microbatch's batch dim on a (data, pp)
+    mesh. Returns the (n_micro, ...) output pytree, replicated over
+    ``axis``.
 
     Differentiable: ``jax.grad`` of a loss of the output produces the
     reverse (backward) pipeline over the same mesh axis.
@@ -91,13 +92,10 @@ def pipeline_apply(
     n_ticks = n_micro + n_stages - 1
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-    def _pipelined(params_local, x_local, const_local):
+    def _pipelined(params_local, x_local):
         # shard_map gives a leading local stage axis of size 1 — drop it.
         params_local = jax.tree.map(lambda p: p[0], params_local)
         sid = lax.axis_index(axis)
-
-        def run_stage(p, x):
-            return stage_fn(p, x) if const is None else stage_fn(p, x, const_local)
 
         def tick(carry, t):
             recv, outs = carry
@@ -108,7 +106,7 @@ def pipeline_apply(
             act_in = jax.tree.map(
                 lambda i, r: jnp.where(sid == 0, i, r), inject, recv
             )
-            act_out = run_stage(params_local, act_in)
+            act_out = stage_fn(params_local, act_in)
             # last stage commits microbatch (t - (S-1)) when it's valid.
             out_idx = t - (n_stages - 1)
             valid = (out_idx >= 0) & (out_idx < n_micro)
@@ -146,11 +144,10 @@ def pipeline_apply(
         in_specs=(
             pipeline_spec(stage_params, axis),
             jax.tree.map(lambda _: batch_spec, x_mb),
-            jax.tree.map(lambda _: P(), const),
         ),
         out_specs=jax.tree.map(lambda _: batch_spec, x_mb),
         check_vma=False,
-    )(stage_params, x_mb, const)
+    )(stage_params, x_mb)
 
 
 def create_pipeline_mesh(pp_size: int, data_size: int = 1, axis: str = "pp") -> Mesh:

@@ -49,34 +49,50 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def match_opt_shardings(mesh: Mesh, params, pshard, opt_tree):
+    """Shardings for optimizer-state leaves: optax states embed
+    params-shaped subtrees (mu, nu) whose tree paths END WITH the param's
+    own path, so each opt leaf is matched to the param whose path is the
+    longest suffix of its path (with a shape check). A shape-keyed match
+    is NOT enough: a replicated embedder kernel can share a shape with a
+    sharded block-stack leaf (e.g. img_in (8, 64) vs a depth-8 stacked
+    bias) and silently mis-shard the moments. Unmatched leaves replicate."""
+    from jax.tree_util import keystr, tree_flatten_with_path, tree_map_with_path
+
+    param_shards = sorted(
+        (
+            (keystr(p), leaf.shape, sh)
+            for (p, leaf), sh in zip(
+                tree_flatten_with_path(params)[0],
+                jax.tree.leaves(
+                    pshard, is_leaf=lambda x: isinstance(x, NamedSharding)
+                ),
+            )
+        ),
+        key=lambda t: -len(t[0]),  # prefer the longest (most specific) path
+    )
+
+    def leaf_shard(path, x):
+        if hasattr(x, "shape") and len(x.shape) > 0:
+            ps = keystr(path)
+            for pk, shape, sh in param_shards:
+                if ps.endswith(pk) and x.shape == shape:
+                    return sh
+        return NamedSharding(mesh, P())
+
+    return tree_map_with_path(leaf_shard, opt_tree)
+
+
 def state_shardings(mesh: Mesh, state: TrainState, fsdp: bool = True):
     """Sharding pytree for the train state: params by rule; opt/EMA inherit
-    (same tree structure per leaf); scalars replicated."""
+    (matched by tree-path suffix per leaf); scalars replicated."""
     pspecs = mmdit_param_specs(state.params, fsdp=fsdp)
     pshard = make_shardings(mesh, pspecs)
-
-    def match(opt_tree):
-        # optax state may embed params-shaped subtrees (mu, nu); map any leaf
-        # whose shape matches a param leaf to that param's sharding
-        flat_params = jax.tree.leaves(state.params)
-        flat_shards = jax.tree.leaves(
-            pshard, is_leaf=lambda x: isinstance(x, NamedSharding)
-        )
-        shape_map = {}
-        for pl, sh in zip(flat_params, flat_shards):
-            shape_map.setdefault(pl.shape, sh)
-
-        def leaf_shard(x):
-            if hasattr(x, "shape") and x.shape in shape_map and len(x.shape) > 0:
-                return shape_map[x.shape]
-            return NamedSharding(mesh, P())
-
-        return jax.tree.map(leaf_shard, opt_tree)
 
     return TrainState(
         step=NamedSharding(mesh, P()),
         params=pshard,
-        opt_state=match(state.opt_state),
+        opt_state=match_opt_shardings(mesh, state.params, pshard, state.opt_state),
         ema_params=pshard if state.ema_params is not None else None,
     )
 

@@ -59,29 +59,18 @@ def pp_param_specs(params: Any, axis: str = "pp") -> Any:
 def pp_state_shardings(mesh: Mesh, state, axis: str = "pp"):
     """TrainState shardings for the PP layout (analogue of
     training/diffusion.py::state_shardings): params by pp_param_specs,
-    optimizer/EMA leaves inherit by shape, scalars replicated."""
-    from opensora_tpu.training.diffusion import TrainState
+    optimizer/EMA leaves matched by tree-path suffix (shape-keyed matching
+    mis-shards when an embedder shape collides with a stacked-block leaf),
+    scalars replicated."""
+    from opensora_tpu.training.diffusion import TrainState, match_opt_shardings
 
     pshard = jax.tree.map(
         lambda s: NamedSharding(mesh, s), pp_param_specs(state.params, axis)
     )
-    flat_params = jax.tree.leaves(state.params)
-    flat_shards = jax.tree.leaves(
-        pshard, is_leaf=lambda x: isinstance(x, NamedSharding)
-    )
-    shape_map = {}
-    for pl, sh in zip(flat_params, flat_shards):
-        shape_map.setdefault(pl.shape, sh)
-
-    def leaf_shard(x):
-        if hasattr(x, "shape") and len(x.shape) > 0 and x.shape in shape_map:
-            return shape_map[x.shape]
-        return NamedSharding(mesh, P())
-
     return TrainState(
         step=NamedSharding(mesh, P()),
         params=pshard,
-        opt_state=jax.tree.map(leaf_shard, state.opt_state),
+        opt_state=match_opt_shardings(mesh, state.params, pshard, state.opt_state),
         ema_params=pshard if state.ema_params is not None else None,
     )
 

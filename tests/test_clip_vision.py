@@ -93,7 +93,7 @@ def test_clip_scorer_matches_hf_clipmodel(tmp_path):
         img_emb = hf.get_image_features(pixel_values=torch.tensor(px)).numpy()
         txt_emb = hf.get_text_features(input_ids=torch.tensor(ids, dtype=torch.long)).numpy()
     img_emb = img_emb / np.linalg.norm(img_emb, axis=-1, keepdims=True)
+    # CLIPScore: mean of per-frame cosines == mean(normalized frames) @ t̂
     v = img_emb.mean(axis=0)
-    v = v / np.linalg.norm(v)
     t = txt_emb[0] / np.linalg.norm(txt_emb[0])
     assert abs(score - float(v @ t)) < 2e-4

@@ -132,6 +132,28 @@ def test_pp_forward_matches_plain(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_pp_opt_state_path_matched_sharding(setup):
+    """Regression: this config's img_in kernel (8, 64) shares its shape with
+    the depth-8 single_blocks stacked biases — a shape-keyed opt-state match
+    replicated those moments (defeating the PP memory win). Path-suffix
+    matching must shard every block-stack moment over 'pp'."""
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    model, batch, params, tx = setup
+    mesh = create_pp_mesh(pp=4, data=2)
+    state = TrainState.create(params, tx, ema=True)
+    sh = pp_state_shardings(mesh, state)
+    checked = 0
+    for path, s in tree_flatten_with_path(
+        sh.opt_state, is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding)
+    )[0]:
+        ps = keystr(path)
+        if "single_blocks" in ps or "double_blocks" in ps:
+            assert len(s.spec) > 0 and s.spec[0] == "pp", (ps, s.spec)
+            checked += 1
+    assert checked > 0
+
+
 def test_pp_requires_divisible_depth(setup):
     model, *_ = setup
     mesh = create_pp_mesh(pp=4, data=2)
