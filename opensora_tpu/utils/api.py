@@ -304,7 +304,8 @@ def prepare_api(
 
         x = S.unpack(x.astype(jnp.float32), opt.height, opt.width, num_frames, patch_size=patch_size)
 
-        # pixel-space frame replacement for i2v (reference sampling.py:698-707)
+        # LATENT-space frame replacement for i2v, pre-decode
+        # (reference sampling.py:698-707: x[0,:,:1] = encoded reference)
         if cond_type == "i2v_head" and references[0] is not None:
             x = x.at[0, :, :1].set(references[0][0].astype(x.dtype))
         elif cond_type == "i2v_tail" and references[0] is not None:

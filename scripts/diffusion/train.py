@@ -20,6 +20,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 
 
+def _fit_null_txt(null_txt, txt_len: int):
+    """Cut or last-token-pad the null text embedding to ``txt_len`` rows
+    (reference scripts/diffusion/train.py:415-420)."""
+    import jax.numpy as jnp
+
+    if null_txt.shape[1] >= txt_len:
+        return null_txt[:, :txt_len]
+    pad = jnp.repeat(null_txt[:, -1:], txt_len - null_txt.shape[1], axis=1)
+    return jnp.concatenate([null_txt, pad], axis=1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -329,9 +340,13 @@ def main():
                 "masks": masks,
                 "guidance": jnp.full((bsz,), cfg.get("guidance", 4.0), jnp.float32),
                 "shift_alpha": jnp.full((bsz,), shift_alpha, jnp.float32),
+                # null embedding cut/padded to the (seq_align-padded) txt
+                # length — pad repeats the LAST null token, matching the
+                # reference (scripts/diffusion/train.py:415-420), not zeros
                 "null_txt": jnp.broadcast_to(
-                    jnp.asarray(null_txt)[:, : inp["txt"].shape[1]], inp["txt"].shape
-                ) if null_txt.shape[1] >= inp["txt"].shape[1] else jnp.zeros_like(inp["txt"]),
+                    _fit_null_txt(jnp.asarray(null_txt), inp["txt"].shape[1]),
+                    inp["txt"].shape,
+                ),
                 "null_vec": jnp.broadcast_to(jnp.asarray(null_vec), inp["y_vec"].shape),
             }
             # explicit mesh placement: rows on 'data', tokens on 'sp'; on
