@@ -160,3 +160,34 @@ def test_pp_requires_divisible_depth(setup):
     bad = MMDiTModel(MMDiTConfig(**{**_cfg().__dict__, "depth": 3}))
     with pytest.raises(ValueError):
         make_pp_forward(bad, mesh, n_micro=4)
+
+
+def test_pp_forward_with_cond_and_guidance():
+    """The 11B config runs cond_embed + guidance_embed; the PP forward must
+    thread cond/guidance through prepare_block_inputs identically."""
+    cfg = MMDiTConfig(
+        in_channels=8, vec_in_dim=16, context_in_dim=24, hidden_size=64,
+        mlp_ratio=2.0, num_heads=4, axes_dim=[4, 6, 6], depth=2,
+        depth_single_blocks=2, qkv_bias=True, guidance_embed=True,
+        cond_embed=True, attn_backend="xla", dtype="fp32",
+        param_dtype="fp32",
+    )
+    model = MMDiTModel(cfg)
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    t = jnp.full((B,), 0.5)
+    args = dict(
+        img=jax.random.normal(ks[0], (B, L, 8)),
+        img_ids=jnp.zeros((B, L, 3)),
+        txt=jax.random.normal(ks[1], (B, LT, 24)),
+        txt_ids=jnp.zeros((B, LT, 3)),
+        timesteps=t,
+        y_vec=jax.random.normal(ks[2], (B, 16)),
+        cond=jax.random.normal(ks[3], (B, L, 12)),
+        guidance=jnp.full((B,), 4.0),
+    )
+    params = model.init(ks[4], *args.values())["params"]
+    ref = model.apply({"params": params}, *args.values())
+    mesh = create_pp_mesh(pp=2, data=2)
+    fwd = make_pp_forward(model, mesh, n_micro=4)
+    out = jax.jit(lambda p: fwd(p, **args))(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
