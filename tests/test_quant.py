@@ -197,3 +197,38 @@ def test_w8a8_denoise_trajectory_bound():
     x_q = run(qm, qparams)
     rel = float(jnp.linalg.norm(x_q - x_fp) / jnp.linalg.norm(x_fp))
     assert rel < 0.05, rel
+
+
+def test_w8a8_with_int8_attention_quality_bound():
+    """The combined maximum-throughput serving config (256px_int8attn.py):
+    W8A8 dense + int8_qk8 attention. Full-model output must stay within
+    2.5% relative L2 of fp32 — dense and attention quantization errors
+    must not compound destructively. Geometry picked so the int8 kernel
+    actually engages (head_dim 128, L_total >= 128)."""
+    kw = dict(
+        in_channels=16, vec_in_dim=32, context_in_dim=64, hidden_size=512,
+        mlp_ratio=4.0, num_heads=4, depth=2, depth_single_blocks=2,
+        axes_dim=[32, 48, 48], qkv_bias=True, guidance_embed=False,
+        cond_embed=False, dtype="fp32",
+    )
+    fp = MMDiTModel(MMDiTConfig(**kw, attn_backend="xla"))
+    q_attn = MMDiTModel(
+        MMDiTConfig(**kw, quantized="w8a8", attn_backend="int8_qk8")
+    )
+    B, L, Lt = 2, 128, 16
+    r = jax.random.split(jax.random.PRNGKey(1), 4)
+    args = (
+        jax.random.normal(r[0], (B, L, 16)),
+        jnp.zeros((B, L, 3)),
+        jax.random.normal(r[1], (B, Lt, 64)),
+        jnp.zeros((B, Lt, 3)),
+        jnp.full((B,), 0.5),
+        jax.random.normal(r[2], (B, 32)),
+    )
+    params = fp.init(r[3], *args)["params"]
+    out_fp = fp.apply({"params": params}, *args).astype(jnp.float32)
+    out_q = q_attn.apply({"params": quantize_params(params)}, *args).astype(
+        jnp.float32
+    )
+    rel = float(jnp.linalg.norm(out_q - out_fp) / jnp.linalg.norm(out_fp))
+    assert rel < 0.025, rel
