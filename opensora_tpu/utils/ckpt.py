@@ -31,12 +31,26 @@ import numpy as np
 
 
 def _load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Read a safetensors file as numpy, INCLUDING bf16 tensors.
+
+    The published checkpoints (Open_Sora_v2.safetensors etc.) are bf16,
+    which the numpy framework of safetensors cannot represent — fall back
+    to the flax framework and keep ml_dtypes.bfloat16 numpy arrays (the
+    converters only transpose/stack/slice, all of which ml_dtypes
+    supports; fp32 upcasting of an 11B checkpoint would double host RAM)."""
     from safetensors import safe_open
 
     out = {}
-    with safe_open(path, framework="np") as f:
+    try:
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    except Exception:
+        out.clear()
+    with safe_open(path, framework="flax") as f:
         for k in f.keys():
-            out[k] = f.get_tensor(k)
+            out[k] = np.asarray(f.get_tensor(k))
     return out
 
 

@@ -322,3 +322,59 @@ def test_convert_equivalence_11b_layer_geometry():
     assert np.abs(outs["split"] - outs["interleaved"]).max() < 1e-3, (
         np.abs(outs["split"] - outs["interleaved"]).max()
     )
+
+
+def test_bf16_safetensors_checkpoint_loads(tmp_path):
+    """The published checkpoints are BF16 safetensors, which the numpy
+    safetensors framework cannot read — the loader must fall back (to
+    ml_dtypes-bf16 arrays) and the converter + model must run on them.
+    Output parity vs the fp32-saved path within bf16 rounding."""
+    import torch
+    from safetensors.torch import save_file
+
+    from opensora_tpu.utils.ckpt import (
+        convert_mmdit_state_dict,
+        load_torch_state_dict,
+    )
+
+    rng = np.random.default_rng(13)
+    sd = _make_torch_sd(rng)
+    f32_path = str(tmp_path / "m_f32.safetensors")
+    bf16_path = str(tmp_path / "m_bf16.safetensors")
+    save_file({k: torch.from_numpy(v) for k, v in sd.items()}, f32_path)
+    save_file(
+        {k: torch.from_numpy(v).bfloat16() for k, v in sd.items()}, bf16_path
+    )
+
+    def build(path):
+        # the raw loaded dict goes straight into the converter — exactly
+        # the from_pretrained path (no fp32 upcast; ml_dtypes bf16 arrays
+        # must survive the transpose/stack/permute pipeline)
+        params = convert_mmdit_state_dict(
+            load_torch_state_dict(path),
+            depth=DEPTH, depth_single=DEPTH_S, num_heads=HEADS,
+            head_dim=HEAD_DIM, rope_convention="split",
+            cond_embed=True, guidance_embed=True,
+        )
+        return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+
+    p32 = build(f32_path)
+    pbf = build(bf16_path)
+
+    args = (
+        jnp.asarray(rng.normal(size=(1, 16, INC)), jnp.float32),
+        jnp.zeros((1, 16, 3)),
+        jnp.asarray(rng.normal(size=(1, 4, CTX)), jnp.float32),
+        jnp.zeros((1, 4, 3)),
+        jnp.full((1,), 0.4),
+        jnp.asarray(rng.normal(size=(1, VEC)), jnp.float32),
+        jnp.asarray(rng.normal(size=(1, 16, INC + 4)), jnp.float32),
+        jnp.full((1,), 4.0),
+    )
+    model = _model("split")
+    o32 = np.asarray(model.apply({"params": p32}, *args))
+    obf = np.asarray(model.apply({"params": pbf}, *args))
+    assert np.isfinite(obf).all()
+    # bf16 weight rounding only: outputs agree to ~bf16 epsilon scale
+    rel = np.linalg.norm(obf - o32) / np.linalg.norm(o32)
+    assert rel < 0.02, rel
