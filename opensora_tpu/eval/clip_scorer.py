@@ -142,12 +142,9 @@ class CLIPScorer:
             tokenizer=tok,
         )
 
-    def embed_video(self, video: np.ndarray, max_frames: int = 8) -> np.ndarray:
-        """Mean of per-frame L2-normalized projected embeddings.
-
-        NOT renormalized: its dot with a unit text vector is then exactly
-        the mean of per-frame cosines (the CLIPScore definition) — an extra
-        normalization would inflate diverse-frame videos by 1/||mean||."""
+    def embed_frames(self, video: np.ndarray, max_frames: int = 8) -> np.ndarray:
+        """(N, proj) L2-normalized per-frame embeddings of up to
+        ``max_frames`` evenly spaced frames."""
         t = video.shape[1]
         idx = np.linspace(0, t - 1, min(t, max_frames)).round().astype(int)
         # subsample BEFORE the resize/normalize — preprocessing the frames
@@ -155,8 +152,15 @@ class CLIPScorer:
         px = preprocess_frames(video[:, idx], self.vision_model.config.image_size)
         pooled = np.asarray(self._embed_frames(px), np.float32)
         emb = pooled @ self.visual_proj
-        emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
-        return emb.mean(axis=0)
+        return emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+
+    def embed_video(self, video: np.ndarray, max_frames: int = 8) -> np.ndarray:
+        """Mean of per-frame L2-normalized projected embeddings.
+
+        NOT renormalized: its dot with a unit text vector is then exactly
+        the mean of per-frame cosines (the CLIPScore definition) — an extra
+        normalization would inflate diverse-frame videos by 1/||mean||."""
+        return self.embed_frames(video, max_frames).mean(axis=0)
 
     def embed_text(self, text: str) -> np.ndarray:
         max_len = self.text_model.config.max_position_embeddings

@@ -1,12 +1,15 @@
 """VBench-style evaluation components.
 
 The reference tracks VBench externally (README.md:290-302); its eval folder
-is not in the tree (SURVEY.md §4), so this harness is written fresh. Three
+is not in the tree (SURVEY.md §4), so this harness is written fresh. Four
 dimensions are implemented:
 
 - **clip_score**: real text-video CLIP similarity through the JAX
   CLIP ViT-L/14 vision + text towers (eval/clip_scorer.py) — VBench's
   'overall consistency' recipe; requires local CLIPModel weights.
+- **subject_consistency**: VBench's subject-consistency formula (first-
+  frame + previous-frame cosines) on CLIP frame embeddings (VBench uses
+  DINO; same recipe, different backbone — documented deviation).
 - **temporal_consistency**: mean cosine similarity of adjacent frames'
   downsampled luma — VBench's 'temporal flickering' proxy.
 - **motion_magnitude**: mean absolute inter-frame difference — the
@@ -54,6 +57,18 @@ def clip_score(video: np.ndarray, text: str, scorer) -> float:
     return float(scorer(video, text))
 
 
+def subject_consistency(video: np.ndarray, scorer, max_frames: int = 8) -> float:
+    """VBench 'subject consistency' recipe on CLIP frame embeddings (VBench
+    uses DINO; the formula is the same): for each later frame, average the
+    cosine to the FIRST frame and to the PREVIOUS frame, then mean."""
+    emb = scorer.embed_frames(video, max_frames=max_frames)  # (N, d), unit
+    if emb.shape[0] < 2:
+        return 1.0
+    to_first = emb[1:] @ emb[0]
+    to_prev = np.sum(emb[1:] * emb[:-1], axis=1)
+    return float(((to_first + to_prev) / 2.0).mean())
+
+
 def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_scorer=None) -> Dict[str, float]:
     out = {
         "temporal_consistency": float(
@@ -64,5 +79,8 @@ def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_scorer=None
     if clip_scorer is not None:
         out["clip_score"] = float(
             np.mean([clip_score(v, t, clip_scorer) for v, t in zip(videos, texts)])
+        )
+        out["subject_consistency"] = float(
+            np.mean([subject_consistency(v, clip_scorer) for v in videos])
         )
     return out

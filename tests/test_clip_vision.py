@@ -97,3 +97,43 @@ def test_clip_scorer_matches_hf_clipmodel(tmp_path):
     v = img_emb.mean(axis=0)
     t = txt_emb[0] / np.linalg.norm(txt_emb[0])
     assert abs(score - float(v @ t)) < 2e-4
+
+
+def test_subject_consistency_orders_static_vs_noise(tmp_path):
+    """A static video must score higher subject consistency than per-frame
+    independent noise, and sit near 1.0 (unit frame embeddings)."""
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file
+    from transformers import CLIPConfig, CLIPModel, CLIPTextConfig as HFTextConfig
+
+    text_cfg = HFTextConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=16, eos_token_id=98, bos_token_id=97,
+        hidden_act="quick_gelu", attention_dropout=0.0, projection_dim=16,
+    )
+    cfg = CLIPConfig.from_text_vision_configs(
+        text_cfg, _hf_vision_cfg(), projection_dim=16
+    )
+    torch.manual_seed(2)
+    hf = CLIPModel(cfg).eval()
+    d = tmp_path / "clip"
+    d.mkdir()
+    save_file(
+        {k: v.contiguous() for k, v in hf.state_dict().items()},
+        str(d / "model.safetensors"),
+    )
+    cfg.to_json_file(str(d / "config.json"))
+
+    from opensora_tpu.eval.clip_scorer import CLIPScorer
+    from opensora_tpu.eval.vbench import subject_consistency
+
+    scorer = CLIPScorer.from_pretrained(str(d))
+    rng = np.random.default_rng(3)
+    frame = rng.uniform(-1, 1, (3, 1, 32, 32)).astype(np.float32)
+    static = np.repeat(frame, 6, axis=1)
+    noise = rng.uniform(-1, 1, (3, 6, 32, 32)).astype(np.float32)
+    s_static = subject_consistency(static, scorer)
+    s_noise = subject_consistency(noise, scorer)
+    assert s_static > 0.999
+    assert s_static > s_noise
