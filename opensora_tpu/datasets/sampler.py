@@ -126,12 +126,21 @@ class VariableVideoBatchSampler:
         bucket_sample_dict: Dict[tuple, List[int]] = defaultdict(list)
         seed = self.seed + self.epoch
         fps_max = getattr(self.dataset, "fps_max", 16)
+        def _num(val, default):
+            # `or default` misses NaN (NaN is truthy): empty cells in a
+            # mixed image/video csv come through pandas as NaN
+            try:
+                f = float(val)
+            except (TypeError, ValueError):
+                return default
+            return default if f != f else f
+
         for i in range(len(data)):
             row = data.iloc[i]
-            t = int(row.get("num_frames", 1) or 1)
+            t = int(_num(row.get("num_frames", 1), 1) or 1)
             h = int(row["height"])
             w = int(row["width"])
-            fps = float(row.get("fps", 0) or 0)
+            fps = _num(row.get("fps", 0), 0.0)
             bucket_id = self.bucket.get_bucket_id(
                 t, h, w, fps, path=row.get("path"),
                 seed=seed + i * self.bucket.num_bucket, fps_max=fps_max,
@@ -234,14 +243,31 @@ class VariableVideoBatchSampler:
 
             bucket_id = access[self.rank]
             lo, hi = boundaries[self.rank]
-            micro_batch = bucket_sample_dict[bucket_id][lo:hi]
+            data_list = bucket_sample_dict[bucket_id]
+            # wrap: the replica-padding of the access order duplicates
+            # bucket accesses WITHOUT extending the per-bucket sample lists,
+            # so the consumed offset can run past the end — a plain [lo:hi]
+            # slice would yield a short/empty batch on some ranks (multi-host
+            # collective desync). In-range slices are unaffected (j % n == j).
+            micro_batch = [data_list[j % len(data_list)] for j in range(lo, hi)]
             real_t, real_h, real_w = self.bucket.get_thw(bucket_id)
             yield [f"{idx}-{real_t}-{real_h}-{real_w}" for idx in micro_batch]
 
         self.reset()
 
     def __len__(self) -> int:
-        return self.get_num_batch() // self.num_replicas
+        """Iterations actually yielded per rank — mirrors __iter__'s padding
+        (ceil per bucket and ceil over replicas unless drop_last), so
+        len(dataloader)-derived step counts match reality."""
+        bucket_sample_dict, _ = self.group_by_bucket()
+        total = 0
+        for bucket_id, samples in bucket_sample_dict.items():
+            bs = self.bucket.get_batch_size(bucket_id)
+            n = len(samples)
+            total += (n // bs) if self.drop_last else -(-n // bs)
+        if self.drop_last:
+            return total // self.num_replicas
+        return -(-total // self.num_replicas) if total else 0
 
     def get_num_batch(self) -> int:
         _, n = self.group_by_bucket()
@@ -280,6 +306,14 @@ class BatchDistributedSampler(StatefulDistributedSampler):
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             idx = rng.permutation(idx)
+        # pad to a replica multiple (wrap) so every rank yields the SAME
+        # number of batches — an uneven split deadlocks multi-host
+        # collectives at epoch end (the parent StatefulDistributedSampler
+        # pads; this override must keep that invariant)
+        per_rank = -(-num_batches // self.num_replicas) if num_batches else 0
+        pad = per_rank * self.num_replicas - num_batches
+        if pad > 0:
+            idx = np.concatenate([idx, idx[:pad]])
         idx = idx[self.rank :: self.num_replicas]
         for b in idx[self.start_index :]:
             start = int(b) * self.batch_size
@@ -327,10 +361,28 @@ class ShapeGroupedBatchSampler:
                 idx = [idx[j] for j in rng.permutation(len(idx))]
             for s in range(0, len(idx), self.batch_size):
                 b = idx[s:s + self.batch_size]
-                if len(b) == self.batch_size or not self.drop_last:
+                if len(b) == self.batch_size:
                     batches.append(b)
+                elif not self.drop_last and self.num_replicas == 1:
+                    batches.append(b)
+                elif not self.drop_last:
+                    # multi-host: a short tail on one rank while another
+                    # rank sees a full batch at the same step breaks
+                    # cross-host global-batch shape agreement — wrap-pad
+                    # the tail to full size instead (cycling if the whole
+                    # group is smaller than one batch)
+                    need = self.batch_size - len(b)
+                    pad_src = (idx * (need // len(idx) + 1))[:need]
+                    batches.append(b + pad_src)
         if self.shuffle:
             batches = [batches[j] for j in rng.permutation(len(batches))]
+        # equal batch count per rank (wrap) — uneven splits deadlock
+        # multi-host collectives at epoch end
+        n = len(batches)
+        per_rank = -(-n // self.num_replicas) if n else 0
+        pad = per_rank * self.num_replicas - n
+        if pad > 0:
+            batches = batches + batches[:pad]
         return batches[self.rank::self.num_replicas]
 
     def __iter__(self):

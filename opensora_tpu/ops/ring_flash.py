@@ -17,8 +17,21 @@ full circle; dq accumulates locally from the stored global LSE.
 
 Layout: per device q, k, v are (B, H, L_loc, D); output (B, H, L_loc, D)
 plus per-row LSE. Grid is (B, H); each cell runs the full sp-step ring for
-its (batch, head) slice, so cells progress in lockstep across devices and
-the parity-indexed semaphores match sends to receives in program order.
+its (batch, head) slice.
+
+Slot-reuse safety (hardware): the 2-slot parity buffers are protected by a
+per-step CONSUMPTION handshake — after a device's reads of slot j are done
+and its send from j has drained, it signals its left neighbor's ack[j];
+the neighbor waits on that ack before firing a send into slot j. (A DMA
+``wait()`` alone covers only the local send-drain and local receive — it
+is NOT an ACK, so without the handshake a device running ahead would
+overwrite the slot its right neighbor is still computing on.) Across grid
+cells, the per-cell neighbor barrier guarantees the right neighbor has
+finished the previous cell before the ungated step-0 send fires. Signals
+and waits are count-balanced so every semaphore ends at zero. Interpret
+mode serializes devices (no race) and skips the handshake with the
+barrier. The handshake lowering itself is untestable at sp=1 (this
+machine); first multi-chip run should start with the fwd parity check.
 """
 
 from __future__ import annotations
@@ -56,7 +69,7 @@ def flat_neighbor_id(axis: str, shift: int, mesh_axes):
 
 def _ring_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
-    kv_buf, m_scr, l_scr, acc_scr, sem_send, sem_recv,
+    kv_buf, m_scr, l_scr, acc_scr, sem_send, sem_recv, sem_ack,
     *, axis: str, sp: int, block_q: int, block_k: int, causal_block,
     use_barrier: bool, mesh_axes,
 ):
@@ -93,6 +106,15 @@ def _ring_fwd_kernel(
         cur = step % 2
         nxt = (step + 1) % 2
         if step + 1 < sp:
+            if use_barrier and step >= 1:
+                # consumption handshake: slot ``nxt`` of the RIGHT neighbor
+                # was its compute slot at step-1 — without this wait a
+                # device running ahead would overwrite the slot its right
+                # neighbor is still reading (rdma.wait only covers our own
+                # send-drain + our own recv, it is NOT an ACK). Interpret
+                # mode serializes devices, so the race cannot occur there
+                # and the handshake is skipped with the barrier.
+                pltpu.semaphore_wait(sem_ack.at[nxt], 1)
             # kick off the transfer of the CURRENT slot to the right
             # neighbour's NEXT slot while we compute on it
             rdma = pltpu.make_async_remote_copy(
@@ -144,6 +166,16 @@ def _ring_fwd_kernel(
 
         if step + 1 < sp:
             rdma.wait()  # next slot received; our send drained
+            if use_barrier and step + 2 < sp:
+                # our send from ``cur`` has drained and our reads of it are
+                # done — tell the LEFT neighbor it may overwrite our ``cur``
+                # slot on its next send. Signals: steps 0..sp-3; consumed by
+                # the neighbor's waits at steps 1..sp-2 (the last step sends
+                # nothing) — balanced, the semaphore ends at zero.
+                pltpu.semaphore_signal(
+                    sem_ack.at[cur], inc=1, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
 
     l_safe = jnp.where(l_scr[...] == 0.0, 1.0, l_scr[...])
     o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
@@ -153,7 +185,7 @@ def _ring_fwd_kernel(
 def _ring_bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dk_ref, dv_ref,
-    kv_buf, grad_buf, dq_scr, kv_send, kv_recv, gr_send, gr_recv,
+    kv_buf, grad_buf, dq_scr, kv_send, kv_recv, gr_send, gr_recv, sem_ack,
     *, axis: str, sp: int, block_q: int, block_k: int, causal_block,
     use_barrier: bool, mesh_axes,
 ):
@@ -190,6 +222,14 @@ def _ring_bwd_kernel(
     for step in range(sp):
         cur = step % 2
         nxt = (step + 1) % 2
+        if use_barrier and step >= 1:
+            # consumption handshake (see _ring_fwd_kernel): the right
+            # neighbor must have fully finished step-1 (its ack covers its
+            # kv slot reuse AND its grad-slot send drain) before we fire
+            # ANY of this step's transfers at it — including the final
+            # step's grad hop, which writes the neighbor's ``nxt`` grad
+            # slot. Waits: steps 1..sp-1; signals: steps 0..sp-2 — balanced.
+            pltpu.semaphore_wait(sem_ack.at[nxt], 1)
         if step + 1 < sp:
             # KV is read-only: its transfer overlaps this step's compute
             kv_rdma = pltpu.make_async_remote_copy(
@@ -245,6 +285,13 @@ def _ring_bwd_kernel(
         if step + 1 < sp:
             kv_rdma.wait()
         gr_rdma.wait()
+        if use_barrier and step + 1 < sp:
+            # all of this step's sends drained + reads done → left neighbor
+            # may overwrite our ``cur`` slots next step
+            pltpu.semaphore_signal(
+                sem_ack.at[cur], inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
 
     home = sp % 2
     dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
@@ -307,6 +354,7 @@ def ring_flash_attention(
                 pltpu.VMEM((l_q, d), jnp.float32),      # accumulator
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.REGULAR((2,)),  # per-slot consumption ACK
             ],
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, collective_id=7,
@@ -352,6 +400,7 @@ def ring_flash_attention(
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.REGULAR((2,)),  # per-slot consumption ACK
             ],
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, collective_id=8,

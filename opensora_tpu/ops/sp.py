@@ -50,7 +50,7 @@ def ulysses_attention(
     logically sharded P(data, sp); heads must divide sp size."""
     sp = mesh.shape[SP_AXIS]
     H = q.shape[2]
-    assert H % sp == 0, f"heads {H} must divide sp size {sp}"
+    assert H % sp == 0, f"sp size {sp} must divide heads {H}"
 
     spec = P(DATA_AXIS, SP_AXIS, None, None)
 
@@ -131,22 +131,23 @@ def ring_attention(
         return o_i, lse_i
 
     def _fwd_scan(qh, kh, vh):
-        def step(carry, _):
-            o_acc, lse_acc, k_cur, v_cur, first = carry
-            o_i, lse_i = _partial(qh, k_cur, v_cur)
-            o_new, lse_new = jax.lax.cond(
-                first,
-                lambda: (o_i, lse_i),
-                lambda: _merge_partials(o_acc, lse_acc, o_i, lse_i),
-            )
-            k_nxt = jax.lax.ppermute(k_cur, SP_AXIS, perm)
-            v_nxt = jax.lax.ppermute(v_cur, SP_AXIS, perm)
-            return (o_new, lse_new, k_nxt, v_nxt, jnp.zeros_like(first)), None
+        # step 0 computes on the local shard outside the scan; each scan
+        # step rotates FIRST then computes, so no rotation's result is ever
+        # discarded (collectives inside scan are not dead-code-eliminated —
+        # the old rotate-after-compute shape paid one wasted full-KV ICI
+        # hop per call)
+        o0, lse0 = _partial(qh, kh, vh)
 
-        o0 = jnp.zeros(qh.shape, jnp.float32)
-        lse0 = jnp.full(qh.shape[:3], -jnp.inf, jnp.float32)
-        (o, lse, _, _, _), _ = jax.lax.scan(
-            step, (o0, lse0, kh, vh, jnp.asarray(True)), None, length=sp
+        def step(carry, _):
+            o_acc, lse_acc, k_cur, v_cur = carry
+            k_cur = jax.lax.ppermute(k_cur, SP_AXIS, perm)
+            v_cur = jax.lax.ppermute(v_cur, SP_AXIS, perm)
+            o_i, lse_i = _partial(qh, k_cur, v_cur)
+            o_new, lse_new = _merge_partials(o_acc, lse_acc, o_i, lse_i)
+            return (o_new, lse_new, k_cur, v_cur), None
+
+        (o, lse, _, _), _ = jax.lax.scan(
+            step, (o0, lse0, kh, vh), None, length=sp - 1
         )
         return o, lse
 
@@ -188,24 +189,35 @@ def ring_attention(
         do = g.astype(jnp.float32)
         delta = jnp.sum(do * o, axis=-1)  # (B, H, Lq)
 
+        # step 0 on the local shard, outside the scan (mirrors _fwd_scan:
+        # no kv rotation whose result would be discarded). dk/dv
+        # accumulators still rotate sp times total — a step-i contribution
+        # is computed on kv that is i hops from home and needs sp-i more
+        # hops, so rotate-after-add every step (incl. step 0) brings every
+        # contribution exactly full circle.
+        dq0, dk0, dv0 = _bwd_partial(qh, kh, vh, do, lse, delta)
+
         def step(carry, _):
             dq_acc, k_cur, v_cur, dk_acc, dv_acc = carry
-            dq_i, dk_i, dv_i = _bwd_partial(qh, k_cur, v_cur, do, lse, delta)
-            dq_acc = dq_acc + dq_i
-            # rotate kv AND its gradient accumulators together: after a full
-            # circle the accumulated dk/dv land back on the owning rank
             k_cur = jax.lax.ppermute(k_cur, SP_AXIS, perm)
             v_cur = jax.lax.ppermute(v_cur, SP_AXIS, perm)
+            dq_i, dk_i, dv_i = _bwd_partial(qh, k_cur, v_cur, do, lse, delta)
+            dq_acc = dq_acc + dq_i
             dk_acc = jax.lax.ppermute(dk_acc + dk_i, SP_AXIS, perm)
             dv_acc = jax.lax.ppermute(dv_acc + dv_i, SP_AXIS, perm)
             return (dq_acc, k_cur, v_cur, dk_acc, dv_acc), None
 
-        zeros_kv = jnp.zeros(kh.shape, jnp.float32)
         (dq, _, _, dk, dv), _ = jax.lax.scan(
             step,
-            (jnp.zeros(qh.shape, jnp.float32), kh, vh, zeros_kv, zeros_kv),
+            (
+                dq0,
+                kh,
+                vh,
+                jax.lax.ppermute(dk0, SP_AXIS, perm),
+                jax.lax.ppermute(dv0, SP_AXIS, perm),
+            ),
             None,
-            length=sp,
+            length=sp - 1,
         )
         return dq.astype(qh.dtype), dk.astype(kh.dtype), dv.astype(vh.dtype)
 

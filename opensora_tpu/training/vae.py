@@ -62,8 +62,11 @@ def make_vae_train_step(
     disc_loss_type: str = "hinge",
     ema_decay: float = 0.9999,
     use_discriminator: bool = True,
+    adaptive_disc_weight: bool = True,
 ):
     """Returns train_step(state, batch{'video'}, rng) → (state, metrics)."""
+
+    from opensora_tpu.models.vae2d.losses import adaptive_generator_weight
 
     def gen_loss_fn(params, video, rng, disc_params, global_step):
         logvar = params.get("loss_logvar", jnp.zeros(()))
@@ -81,11 +84,42 @@ def make_vae_train_step(
         g_loss_raw = jnp.zeros(())
         if use_discriminator and disc_params is not None:
             logits_fake = disc_model.apply({"params": disc_params}, x_rec)
-            # fixed disc weight (the adaptive grad-norm variant needs a
-            # second backward; exposed via disc_weight here)
+            if adaptive_disc_weight:
+                # reference losses.py:163-170 balances the GAN term by
+                # ||grad(nll)|| / ||grad(g)|| on the decoder's last layer.
+                # Both last-layer gradients share the layer's input
+                # activations as a common factor, so the ratio of the
+                # OUTPUT-space gradients (cheap: backward through the loss
+                # heads only, not the decoder) is the same quantity — the
+                # taming-transformers last_layer=None fallback semantics.
+                x_sg = jax.lax.stop_gradient(x_rec)
+
+                def nll_head(xr):
+                    l = vae_loss(
+                        video, xr, posterior, jax.lax.stop_gradient(logvar),
+                        perceptual_loss_fn=perceptual_loss_fn,
+                        perceptual_loss_weight=perceptual_loss_weight,
+                        kl_loss_weight=kl_loss_weight,
+                    )
+                    return l["nll_loss"]
+
+                def g_head(xr):
+                    return -jnp.mean(
+                        disc_model.apply(
+                            {"params": jax.lax.stop_gradient(disc_params)}, xr
+                        ).astype(jnp.float32)
+                    )
+
+                nll_grad = jax.grad(nll_head)(x_sg)
+                g_grad = jax.grad(g_head)(x_sg)
+                d_weight = adaptive_generator_weight(
+                    nll_grad, g_grad, disc_weight
+                )
+            else:
+                d_weight = disc_weight
             weighted, g_loss_raw = generator_loss(
                 logits_fake, global_step,
-                d_weight=disc_weight, disc_factor=disc_factor, gen_start=gen_start,
+                d_weight=d_weight, disc_factor=disc_factor, gen_start=gen_start,
             )
             total = total + weighted
         return total, (losses, x_rec, g_loss_raw)
