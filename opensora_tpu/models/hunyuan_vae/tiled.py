@@ -110,23 +110,27 @@ class TiledVAERunner:
         )
 
     # ---- temporal tiling (same causal-overlap math as model.py:336-395) ----
-    def _temporal_tiled_encode(self, x_cl):
-        T = x_cl.shape[1]
-        tst = self.tile_sample_min_tsize
-        overlap = int(tst * (1 - self.cfg.tile_overlap_factor))
-        blend = int(self.tile_latent_min_tsize * self.cfg.tile_overlap_factor)
-        limit = self.tile_latent_min_tsize - blend
+    def _temporal_tiled(self, x_cl, core, spatial_fn, tile_t_in, tile_t_out,
+                        spatial_limit):
+        """Shared causal-overlap temporal loop: slice ``tile_t_in + 1``
+        frames (the +1 is the causal context frame, dropped from every tile
+        after the first), run ``core`` — or ``spatial_fn`` when the tile's
+        spatial extent exceeds ``spatial_limit`` — then blend/crop in
+        ``tile_t_out`` units. One body for encode and decode so the causal
+        frame and blend logic cannot desynchronize between them."""
+        overlap = int(tile_t_in * (1 - self.cfg.tile_overlap_factor))
+        blend = int(tile_t_out * self.cfg.tile_overlap_factor)
+        limit = tile_t_out - blend
 
         tiles = []
-        for i in range(0, T, overlap):
-            tile = x_cl[:, i:i + tst + 1]
+        for i in range(0, x_cl.shape[1], overlap):
+            tile = x_cl[:, i:i + tile_t_in + 1]
             if self.cfg.use_spatial_tiling and (
-                tile.shape[2] > self.tile_sample_min_size
-                or tile.shape[3] > self.tile_sample_min_size
+                tile.shape[2] > spatial_limit or tile.shape[3] > spatial_limit
             ):
-                tile = self._spatial_tiled_encode(tile)
+                tile = spatial_fn(tile)
             else:
-                tile = self._encode_core(self.variables, tile)
+                tile = core(self.variables, tile)
             if i > 0:
                 tile = tile[:, 1:]
             tiles.append(tile)
@@ -139,34 +143,19 @@ class TiledVAERunner:
                 result.append(tile[:, :limit + 1])
         return jnp.concatenate(result, axis=1)
 
-    def _temporal_tiled_decode(self, z_cl):
-        T = z_cl.shape[1]
-        tlt = self.tile_latent_min_tsize
-        overlap = int(tlt * (1 - self.cfg.tile_overlap_factor))
-        blend = int(self.tile_sample_min_tsize * self.cfg.tile_overlap_factor)
-        limit = self.tile_sample_min_tsize - blend
+    def _temporal_tiled_encode(self, x_cl):
+        return self._temporal_tiled(
+            x_cl, self._encode_core, self._spatial_tiled_encode,
+            self.tile_sample_min_tsize, self.tile_latent_min_tsize,
+            self.tile_sample_min_size,
+        )
 
-        tiles = []
-        for i in range(0, T, overlap):
-            tile = z_cl[:, i:i + tlt + 1]
-            if self.cfg.use_spatial_tiling and (
-                tile.shape[2] > self.tile_latent_min_size
-                or tile.shape[3] > self.tile_latent_min_size
-            ):
-                dec = self._spatial_tiled_decode(tile)
-            else:
-                dec = self._decode_core(self.variables, tile)
-            if i > 0:
-                dec = dec[:, 1:]
-            tiles.append(dec)
-        result = []
-        for i, tile in enumerate(tiles):
-            if i > 0:
-                tile = blend_tiles(tiles[i - 1], tile, blend, axis=1)
-                result.append(tile[:, :limit])
-            else:
-                result.append(tile[:, :limit + 1])
-        return jnp.concatenate(result, axis=1)
+    def _temporal_tiled_decode(self, z_cl):
+        return self._temporal_tiled(
+            z_cl, self._decode_core, self._spatial_tiled_decode,
+            self.tile_latent_min_tsize, self.tile_sample_min_tsize,
+            self.tile_latent_min_size,
+        )
 
     # ---- public API, (B, C, T, H, W), matching model.encode/decode ----
     def encode(
