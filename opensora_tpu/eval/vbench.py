@@ -1,19 +1,34 @@
 """VBench-style evaluation components.
 
 The reference tracks VBench externally (README.md:290-302); its eval folder
-is not in the tree (SURVEY.md §4), so this harness is written fresh. Four
-dimensions are implemented:
+is not in the tree (SURVEY.md §4), so this harness is written fresh. Eight
+dimensions are implemented (VBench name → recipe here; deviations from the
+official detectors are documented inline):
 
-- **clip_score**: real text-video CLIP similarity through the JAX
-  CLIP ViT-L/14 vision + text towers (eval/clip_scorer.py) — VBench's
-  'overall consistency' recipe; requires local CLIPModel weights.
-- **subject_consistency**: VBench's subject-consistency formula (first-
-  frame + previous-frame cosines) on CLIP frame embeddings (VBench uses
-  DINO; same recipe, different backbone — documented deviation).
-- **temporal_consistency**: mean cosine similarity of adjacent frames'
-  downsampled luma — VBench's 'temporal flickering' proxy.
-- **motion_magnitude**: mean absolute inter-frame difference — the
-  'dynamic degree' proxy.
+- **clip_score** ('overall consistency'): real text-video CLIP similarity
+  through the JAX CLIP ViT-L/14 vision + text towers (eval/clip_scorer.py);
+  requires local CLIPModel weights.
+- **subject_consistency**: VBench's formula (first-frame + previous-frame
+  cosines) on CLIP embeddings of CENTER-CROPPED frames (VBench uses DINO,
+  whose features are subject-salient; the crop biases CLIP toward the
+  subject — documented deviation).
+- **background_consistency**: VBench's formula on CLIP embeddings of FULL
+  frames (this one IS the official recipe — VBench uses CLIP here).
+- **temporal_consistency** ('temporal flickering'): mean cosine similarity
+  of adjacent frames' luma.
+- **motion_smoothness**: second-order temporal smoothness — VBench scores
+  reconstruction error of an AMT frame interpolator; the proxy here scores
+  how well each frame is predicted by linear interpolation of its
+  neighbours, normalized by motion magnitude so static videos don't win
+  by default.
+- **dynamic_degree**: THRESHOLDED motion (fraction of videos judged
+  dynamic), like VBench's binarized RAFT-flow recipe; flow magnitude is
+  estimated with coarse block matching instead of RAFT.
+- **imaging_quality**: no-reference sharpness/exposure score in [0, 1]
+  (VBench uses MUSIQ; proxy = Laplacian-energy sharpness x a clipping
+  penalty — documented deviation).
+- **motion_magnitude**: raw mean |frame difference| (diagnostic, not a
+  VBench dimension).
 """
 
 from __future__ import annotations
@@ -57,16 +72,117 @@ def clip_score(video: np.ndarray, text: str, scorer) -> float:
     return float(scorer(video, text))
 
 
-def subject_consistency(video: np.ndarray, scorer, max_frames: int = 8) -> float:
-    """VBench 'subject consistency' recipe on CLIP frame embeddings (VBench
-    uses DINO; the formula is the same): for each later frame, average the
-    cosine to the FIRST frame and to the PREVIOUS frame, then mean."""
-    emb = scorer.embed_frames(video, max_frames=max_frames)  # (N, d), unit
+def _consistency_from_embeddings(emb: np.ndarray) -> float:
+    """VBench's shared consistency formula: for each later frame, average
+    the cosine to the FIRST frame and to the PREVIOUS frame, then mean."""
     if emb.shape[0] < 2:
         return 1.0
     to_first = emb[1:] @ emb[0]
     to_prev = np.sum(emb[1:] * emb[:-1], axis=1)
     return float(((to_first + to_prev) / 2.0).mean())
+
+
+def subject_consistency(video: np.ndarray, scorer, max_frames: int = 8) -> float:
+    """VBench 'subject consistency' on CLIP embeddings of center-cropped
+    frames (VBench uses DINO, which is subject-salient; the center crop
+    biases CLIP toward the subject — documented backbone deviation)."""
+    c, t, h, w = video.shape
+    ch, cw = max(h // 2, 1), max(w // 2, 1)
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    crop = video[:, :, y0:y0 + ch, x0:x0 + cw]
+    emb = scorer.embed_frames(crop, max_frames=max_frames)  # (N, d), unit
+    return _consistency_from_embeddings(emb)
+
+
+def background_consistency(video: np.ndarray, scorer, max_frames: int = 8) -> float:
+    """VBench 'background consistency': the same formula on CLIP embeddings
+    of FULL frames — this dimension officially uses CLIP features."""
+    emb = scorer.embed_frames(video, max_frames=max_frames)
+    return _consistency_from_embeddings(emb)
+
+
+def _block_flow_magnitude(video: np.ndarray, grid: int = 8,
+                          search: int = 3, down: int = 2) -> float:
+    """Mean per-frame motion magnitude (pixels, at the downsampled scale)
+    estimated by coarse block matching — a RAFT-free stand-in for VBench's
+    flow backbone. For each adjacent frame pair, the luma is downsampled,
+    split into a ``grid``x``grid`` patch grid, and each patch is matched
+    against +-``search`` px shifts of the next frame; the median patch
+    displacement per pair is averaged over the video."""
+    y = _luma(np.asarray(video, np.float64))[:, ::down, ::down]
+    t, h, w = y.shape
+    if t < 2 or h <= 2 * search or w <= 2 * search:
+        return 0.0
+    ph, pw = max(h // grid, 1), max(w // grid, 1)
+    mags = []
+    for f in range(t - 1):
+        a, b = y[f], y[f + 1]
+        disp = []
+        for gy in range(0, h - ph + 1, ph):
+            for gx in range(0, w - pw + 1, pw):
+                if gy + ph + search > h or gx + pw + search > w \
+                        or gy < search or gx < search:
+                    continue
+                patch = a[gy:gy + ph, gx:gx + pw]
+                if float(patch.var()) < 1e-4:
+                    continue  # textureless block: matching is meaningless
+                # lexicographic (error, displacement): flat-tied errors must
+                # resolve to zero motion, not the first candidate scanned
+                best = (np.inf, 0.0)
+                for dy in range(-search, search + 1):
+                    for dx in range(-search, search + 1):
+                        cand = b[gy + dy:gy + dy + ph, gx + dx:gx + dx + pw]
+                        err = float(np.mean((patch - cand) ** 2))
+                        best = min(best, (err, float(np.hypot(dy, dx))))
+                disp.append(best[1])
+        if disp:
+            mags.append(float(np.median(disp)))
+    return float(np.mean(mags)) if mags else 0.0
+
+
+def dynamic_degree(video: np.ndarray, threshold: float = 0.5) -> bool:
+    """VBench's thresholded 'dynamic degree': is there real motion? VBench
+    binarizes RAFT flow magnitude; here the block-matching estimate above
+    is compared against ``threshold`` (in downsampled pixels/frame). The
+    set-level score is the FRACTION of dynamic videos."""
+    return bool(_block_flow_magnitude(video) > threshold)
+
+
+def motion_smoothness(video: np.ndarray) -> float:
+    """Second-order smoothness in [0, 1]: how well each frame is linearly
+    interpolated from its neighbours (VBench scores an AMT interpolator's
+    reconstruction error; same idea, analytic interpolator), relative to
+    the zeroth-order hold-last-frame predictor. Smooth trajectories make
+    interpolation much better than holding (score → 1); temporally
+    incoherent content gains nothing (score → ~0.13 for white noise).
+    Luma is 4x4 average-pooled first so hard-edge aliasing does not
+    dominate the pixel-space interpolation error."""
+    y = _luma(np.asarray(video, np.float64))
+    t, h, w = y.shape
+    if t < 3:
+        return 1.0
+    hp, wp = (h // 4) * 4, (w // 4) * 4
+    y = y[:, :hp, :wp].reshape(t, hp // 4, 4, wp // 4, 4).mean(axis=(2, 4))
+    interp_err = np.abs(y[1:-1] - (y[:-2] + y[2:]) / 2.0).mean()
+    hold_err = np.abs(y[1:-1] - y[:-2]).mean()
+    if hold_err < 1e-9:
+        return 1.0  # static video: trivially smooth
+    return float(np.clip(1.0 - interp_err / hold_err, 0.0, 1.0))
+
+
+def imaging_quality(video: np.ndarray) -> float:
+    """No-reference frame quality in [0, 1] (MUSIQ stand-in): Laplacian-
+    energy sharpness saturating at a natural-image level, damped by an
+    exposure-clipping penalty (fraction of pixels at the [-1, 1] rails)."""
+    y = _luma(np.asarray(video, np.float64))
+    lap = (
+        -4.0 * y[:, 1:-1, 1:-1]
+        + y[:, :-2, 1:-1] + y[:, 2:, 1:-1] + y[:, 1:-1, :-2] + y[:, 1:-1, 2:]
+    )
+    sharp = float(np.sqrt(np.mean(lap**2)))
+    sharpness = min(sharp / 0.15, 1.0)  # ~0.15 = crisp natural footage
+    clipped = float(np.mean(np.abs(video) > 0.995))
+    return float(sharpness * (1.0 - min(4.0 * clipped, 1.0)))
 
 
 def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_scorer=None) -> Dict[str, float]:
@@ -75,6 +191,13 @@ def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_scorer=None
             np.mean([temporal_consistency(v) for v in videos])
         ),
         "motion_magnitude": float(np.mean([motion_magnitude(v) for v in videos])),
+        "motion_smoothness": float(
+            np.mean([motion_smoothness(v) for v in videos])
+        ),
+        "dynamic_degree": float(
+            np.mean([float(dynamic_degree(v)) for v in videos])
+        ),
+        "imaging_quality": float(np.mean([imaging_quality(v) for v in videos])),
     }
     if clip_scorer is not None:
         out["clip_score"] = float(
@@ -82,5 +205,8 @@ def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_scorer=None
         )
         out["subject_consistency"] = float(
             np.mean([subject_consistency(v, clip_scorer) for v in videos])
+        )
+        out["background_consistency"] = float(
+            np.mean([background_consistency(v, clip_scorer) for v in videos])
         )
     return out

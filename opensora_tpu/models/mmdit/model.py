@@ -54,6 +54,11 @@ class MMDiTConfig:
     patch_size: int = 2
     # TPU-specific knobs
     rope_convention: str = "split"  # "split" (fast) or "interleaved" (parity)
+    # RoPE pairing the from_pretrained weights were trained with: the
+    # published Open-Sora-v2 checkpoints use liger/rotate-half = "split"
+    # (reference configs/diffusion/inference/256px.py:41 use_liger_rope);
+    # original Flux checkpoints are "interleaved"
+    ckpt_rope_convention: str = "split"
     attn_backend: Optional[str] = None  # None = auto (pallas on TPU)
     remat: bool = False  # checkpoint each scanned block
     quantized: "bool | str" = False  # False | True/"w8" (weight-only) | "w8a8" (ops/quant.py)

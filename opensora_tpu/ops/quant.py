@@ -44,7 +44,13 @@ class QuantDense(nn.Module):
         scale = self.param(
             "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
         )
-        if self.mode == "w8a8":
+        n_rows = x.size // in_f
+        if self.mode == "w8a8" or (
+            # the Pallas path exists to keep the int32 accumulator out of
+            # HBM; for few-row matmuls (modulation/vec embeds) that buffer
+            # is tiny and the XLA path is both faster and shape-flexible
+            self.mode == "w8a8_pallas" and (n_rows < 1024 or in_f % 512)
+        ):
             xf = x.astype(jnp.float32)
             s_a = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
             s_a = jnp.maximum(s_a, 1e-8)
@@ -67,7 +73,6 @@ class QuantDense(nn.Module):
             s_a = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
             s_a = jnp.maximum(s_a, 1e-8)
             x8 = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
-            assert in_f % 512 == 0, "w8a8_pallas requires K % 512 == 0"
             lead = x8.shape[:-1]
             y = w8a8_matmul(
                 x8.reshape(-1, in_f), q,

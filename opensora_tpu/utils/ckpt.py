@@ -87,6 +87,27 @@ def _stack(items):
     return jax.tree.map(lambda *xs: np.stack(xs), *items)
 
 
+def _qk_permuter(src_rope: str, dst_rope: str, num_heads: int, head_dim: int):
+    """Channel permutation taking q/k projection outputs from the
+    convention the checkpoint was trained with to the in-memory one.
+
+    Conventions (ops/rope.py): "interleaved" = Flux-original pairs
+    (2i, 2i+1); "split" = rotate-half/liger pairs (i, i+D/2). The PUBLISHED
+    Open-Sora-v2 checkpoints were trained with ``use_liger_rope=True``
+    (configs/diffusion/inference/256px.py:41), i.e. their q/k channels are
+    already in the split convention — loading them must NOT permute.
+    """
+    from opensora_tpu.ops.rope import permute_qk_weight
+
+    if src_rope == dst_rope:
+        return lambda w: w
+    inverse = (src_rope, dst_rope) == ("split", "interleaved")
+    if not inverse and (src_rope, dst_rope) != ("interleaved", "split"):
+        raise ValueError(f"unknown rope conversion {src_rope!r} -> {dst_rope!r}")
+    return lambda w: permute_qk_weight(w, num_heads, head_dim, out_axis=-1,
+                                       inverse=inverse)
+
+
 def convert_mmdit_state_dict(
     sd: Dict[str, np.ndarray],
     depth: int,
@@ -96,31 +117,103 @@ def convert_mmdit_state_dict(
     rope_convention: str = "split",
     cond_embed: bool = False,
     guidance_embed: bool = True,
+    fused_qkv: bool = True,
+    src_rope_convention: str = "split",
 ) -> Dict[str, Any]:
-    """Map the published flux/Open-Sora-v2 torch layout (reference
+    """Map a flux/Open-Sora-v2 torch state dict (reference
     models/mmdit/model.py key names) into our scanned flax pytree.
 
-    Per-layer weights are stacked on a leading ``layers`` axis (nn.scan).
-    When ``rope_convention == 'split'`` the q and k output channels of every
-    qkv projection are permuted from the interleaved to the rotate-half
-    layout (see opensora_tpu/ops/rope.py) — attention outputs are unchanged.
-    """
-    from opensora_tpu.ops.rope import permute_qk_weight
+    Handles BOTH torch module layouts — fused (``qkv``/``linear1``) and the
+    published checkpoints' unfused one (``q_proj``/``k_proj``/``v_proj``,
+    ``v_mlp``; configs/diffusion/inference/256px.py:40 ``fused_qkv=False``)
+    — auto-detected from the keys, and emits whichever layout the target
+    model uses (``fused_qkv``). Per-layer weights are stacked on a leading
+    ``layers`` axis (nn.scan).
 
-    def permute_qkv(lin: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        if rope_convention != "split":
-            return lin
-        out = dict(lin)
-        k = out["kernel"]  # (in, 3*H*D) fused qkv
-        q_w, k_w, v_w = np.split(k, 3, axis=-1)
-        q_w = permute_qk_weight(q_w, num_heads, head_dim, out_axis=-1)
-        k_w = permute_qk_weight(k_w, num_heads, head_dim, out_axis=-1)
-        out["kernel"] = np.concatenate([q_w, k_w, v_w], axis=-1)
-        if "bias" in out:
-            qb, kb, vb = np.split(out["bias"], 3, axis=-1)
-            qb = permute_qk_weight(qb, num_heads, head_dim, out_axis=-1)
-            kb = permute_qk_weight(kb, num_heads, head_dim, out_axis=-1)
-            out["bias"] = np.concatenate([qb, kb, vb], axis=-1)
+    ``src_rope_convention`` names the RoPE pairing the weights were trained
+    with: "split" (liger rotate-half — the published checkpoints) or
+    "interleaved" (Flux original). q/k output channels are permuted exactly
+    when it differs from the in-memory ``rope_convention`` — attention
+    outputs are unchanged by the basis change (ops/rope.py).
+    """
+    qk_perm = _qk_permuter(src_rope_convention, rope_convention,
+                           num_heads, head_dim)
+    hidden3 = 3 * num_heads * head_dim
+    src_fused = "double_blocks.0.img_attn.qkv.weight" in sd
+
+    def fused_attn_lin(prefix):
+        """One (in, 3*H*D) kernel [q|k|v] + bias from either src layout,
+        q/k already permuted to the in-memory rope convention."""
+        if src_fused:
+            lin = _lin(sd, f"{prefix}.qkv")
+            q_w, k_w, v_w = np.split(lin["kernel"], 3, axis=-1)
+            has_bias = "bias" in lin
+            if has_bias:
+                qb, kb, vb = np.split(lin["bias"], 3, axis=-1)
+        else:
+            q, k, v = (_lin(sd, f"{prefix}.{n}") for n in ("q_proj", "k_proj", "v_proj"))
+            q_w, k_w, v_w = q["kernel"], k["kernel"], v["kernel"]
+            has_bias = "bias" in q
+            if has_bias:
+                qb, kb, vb = q["bias"], k["bias"], v["bias"]
+        out = {"kernel": np.concatenate(
+            [qk_perm(q_w), qk_perm(k_w), v_w], axis=-1)}
+        if has_bias:
+            out["bias"] = np.concatenate([qk_perm(qb), qk_perm(kb), vb], axis=-1)
+        return out
+
+    def emit_attn(prefix):
+        """SelfAttention qkv in the target layout."""
+        lin = fused_attn_lin(prefix)
+        if fused_qkv:
+            return {"qkv": lin}
+        q_w, k_w, v_w = np.split(lin["kernel"], 3, axis=-1)
+        out = {"q_proj": {"kernel": q_w}, "k_proj": {"kernel": k_w},
+               "v_proj": {"kernel": v_w}}
+        if "bias" in lin:
+            qb, kb, vb = np.split(lin["bias"], 3, axis=-1)
+            out["q_proj"]["bias"], out["k_proj"]["bias"], out["v_proj"]["bias"] = qb, kb, vb
+        return out
+
+    def fused_lin1(prefix):
+        """Single-block (in, 3*H*D + mlp) kernel [q|k|v|mlp] from either
+        src layout (unfused = q_proj + k_proj + v_mlp, the v/mlp halves
+        fused in one projection — reference layers.py:321-333)."""
+        if src_fused:
+            lin = _lin(sd, f"{prefix}.linear1")
+            k = lin["kernel"]
+            q_w, k_w, v_w = np.split(k[:, :hidden3], 3, axis=-1)
+            vm_w = np.concatenate([v_w, k[:, hidden3:]], axis=-1)
+            has_bias = "bias" in lin
+            if has_bias:
+                b = lin["bias"]
+                qb, kb, vb = np.split(b[:hidden3], 3)
+                vmb = np.concatenate([vb, b[hidden3:]])
+        else:
+            q, k, vm = (_lin(sd, f"{prefix}.{n}") for n in ("q_proj", "k_proj", "v_mlp"))
+            q_w, k_w, vm_w = q["kernel"], k["kernel"], vm["kernel"]
+            has_bias = "bias" in q
+            if has_bias:
+                qb, kb, vmb = q["bias"], k["bias"], vm["bias"]
+        out = {"kernel": np.concatenate(
+            [qk_perm(q_w), qk_perm(k_w), vm_w], axis=-1)}
+        if has_bias:
+            out["bias"] = np.concatenate([qk_perm(qb), qk_perm(kb), vmb])
+        return out
+
+    def emit_lin1(prefix):
+        lin = fused_lin1(prefix)
+        if fused_qkv:
+            return {"linear1": lin}
+        hd = num_heads * head_dim
+        k = lin["kernel"]
+        out = {"q_proj": {"kernel": k[:, :hd]},
+               "k_proj": {"kernel": k[:, hd:2 * hd]},
+               "v_mlp": {"kernel": k[:, 2 * hd:]}}
+        if "bias" in lin:
+            b = lin["bias"]
+            out["q_proj"]["bias"], out["k_proj"]["bias"] = b[:hd], b[hd:2 * hd]
+            out["v_mlp"]["bias"] = b[2 * hd:]
         return out
 
     def mlp_embedder(prefix):
@@ -141,12 +234,12 @@ def convert_mmdit_state_dict(
             "img_mod": {"lin": _lin(sd, f"{p}.img_mod.lin")},
             "txt_mod": {"lin": _lin(sd, f"{p}.txt_mod.lin")},
             "img_attn": {
-                "qkv": permute_qkv(_lin(sd, f"{p}.img_attn.qkv")),
+                **emit_attn(f"{p}.img_attn"),
                 "norm": qknorm(f"{p}.img_attn.norm"),
                 "proj": _lin(sd, f"{p}.img_attn.proj"),
             },
             "txt_attn": {
-                "qkv": permute_qkv(_lin(sd, f"{p}.txt_attn.qkv")),
+                **emit_attn(f"{p}.txt_attn"),
                 "norm": qknorm(f"{p}.txt_attn.norm"),
                 "proj": _lin(sd, f"{p}.txt_attn.proj"),
             },
@@ -156,23 +249,8 @@ def convert_mmdit_state_dict(
 
     def single_block(i):
         p = f"single_blocks.{i}"
-        lin1 = _lin(sd, f"{p}.linear1")
-        if rope_convention == "split":
-            k = lin1["kernel"]
-            hidden3 = 3 * num_heads * head_dim
-            qkv_w, mlp_w = k[:, :hidden3], k[:, hidden3:]
-            q_w, k_w, v_w = np.split(qkv_w, 3, axis=-1)
-            q_w = permute_qk_weight(q_w, num_heads, head_dim, out_axis=-1)
-            k_w = permute_qk_weight(k_w, num_heads, head_dim, out_axis=-1)
-            lin1["kernel"] = np.concatenate([q_w, k_w, v_w, mlp_w], axis=-1)
-            if "bias" in lin1:
-                b = lin1["bias"]
-                qb, kb, vb = np.split(b[:hidden3], 3)
-                qb = permute_qk_weight(qb, num_heads, head_dim, out_axis=-1)
-                kb = permute_qk_weight(kb, num_heads, head_dim, out_axis=-1)
-                lin1["bias"] = np.concatenate([qb, kb, vb, b[hidden3:]])
         return {
-            "linear1": lin1,
+            **emit_lin1(p),
             "linear2": _lin(sd, f"{p}.linear2"),
             "norm": qknorm(f"{p}.norm"),
             "modulation": {"lin": _lin(sd, f"{p}.modulation.lin")},
@@ -202,16 +280,25 @@ def export_mmdit_state_dict(
     num_heads: int,
     head_dim: int,
     rope_convention: str = "split",
+    dst_fused: Optional[bool] = None,
+    dst_rope_convention: str = "split",
 ) -> Dict[str, np.ndarray]:
     """Inverse of :func:`convert_mmdit_state_dict`: scanned flax pytree →
-    published flux/Open-Sora-v2 torch layout (for safetensors export).
+    flux/Open-Sora-v2 torch layout (for safetensors export).
 
-    Unstacks the nn.scan layer axis and, when the in-memory layout is
-    "split", applies the inverse RoPE channel permutation so the exported
-    q/k projections are interleaved again. Roundtrip identity is locked by
-    tests/test_ckpt_interop.py."""
-    from opensora_tpu.ops.rope import permute_qk_weight
-
+    Unstacks the nn.scan layer axis; the in-memory layout (fused or
+    unfused, auto-detected; ``rope_convention``) is re-expressed in the
+    requested torch layout: ``dst_fused`` (None = keep the in-memory
+    layout) + ``dst_rope_convention``. Defaults round-trip with
+    :func:`convert_mmdit_state_dict`'s defaults and match the PUBLISHED
+    checkpoints' liger/"split" q-k channel pairing; pass
+    ``dst_rope_convention="interleaved"`` for the Flux-original layout.
+    Roundtrip identity is locked by tests/test_ckpt_interop.py."""
+    if dst_fused is None:
+        dst_fused = "qkv" in params["double_blocks"]["img_attn"]
+    qk_perm = _qk_permuter(rope_convention, dst_rope_convention,
+                           num_heads, head_dim)
+    hd = num_heads * head_dim
     out: Dict[str, np.ndarray] = {}
 
     def put_lin(prefix, node):
@@ -219,39 +306,41 @@ def export_mmdit_state_dict(
         if "bias" in node:
             out[f"{prefix}.bias"] = np.asarray(node["bias"])
 
-    def unpermute_qkv(node):
-        if rope_convention != "split":
-            return node
-        node = dict(node)
-        q_w, k_w, v_w = np.split(np.asarray(node["kernel"]), 3, axis=-1)
-        q_w = permute_qk_weight(q_w, num_heads, head_dim, out_axis=-1, inverse=True)
-        k_w = permute_qk_weight(k_w, num_heads, head_dim, out_axis=-1, inverse=True)
-        node["kernel"] = np.concatenate([q_w, k_w, v_w], axis=-1)
-        if "bias" in node:
-            qb, kb, vb = np.split(np.asarray(node["bias"]), 3, axis=-1)
-            qb = permute_qk_weight(qb, num_heads, head_dim, out_axis=-1, inverse=True)
-            kb = permute_qk_weight(kb, num_heads, head_dim, out_axis=-1, inverse=True)
-            node["bias"] = np.concatenate([qb, kb, vb], axis=-1)
-        return node
+    def gather_fused(node, names, splits):
+        """(kernel, bias|None) of the concatenated projection from either
+        in-memory layout. ``names`` are the unfused module names; ``splits``
+        their output widths (for the fused-in-memory split points)."""
+        if names[0] in node:  # unfused in memory
+            ks = [np.asarray(node[n]["kernel"]) for n in names]
+            bs = [np.asarray(node[n]["bias"]) for n in names] \
+                if "bias" in node[names[0]] else None
+        else:
+            fused_name = "qkv" if "qkv" in node else "linear1"
+            k = np.asarray(node[fused_name]["kernel"])
+            idx = np.cumsum(splits)[:-1]
+            ks = np.split(k, idx, axis=-1)
+            bs = np.split(np.asarray(node[fused_name]["bias"]), idx) \
+                if "bias" in node[fused_name] else None
+        ks[0], ks[1] = qk_perm(ks[0]), qk_perm(ks[1])
+        if bs is not None:
+            bs[0], bs[1] = qk_perm(bs[0]), qk_perm(bs[1])
+        return ks, bs
 
-    def unpermute_lin1(node):
-        if rope_convention != "split":
-            return node
-        node = dict(node)
-        hidden3 = 3 * num_heads * head_dim
-        k = np.asarray(node["kernel"])
-        qkv_w, mlp_w = k[:, :hidden3], k[:, hidden3:]
-        q_w, k_w, v_w = np.split(qkv_w, 3, axis=-1)
-        q_w = permute_qk_weight(q_w, num_heads, head_dim, out_axis=-1, inverse=True)
-        k_w = permute_qk_weight(k_w, num_heads, head_dim, out_axis=-1, inverse=True)
-        node["kernel"] = np.concatenate([q_w, k_w, v_w, mlp_w], axis=-1)
-        if "bias" in node:
-            b = np.asarray(node["bias"])
-            qb, kb, vb = np.split(b[:hidden3], 3)
-            qb = permute_qk_weight(qb, num_heads, head_dim, out_axis=-1, inverse=True)
-            kb = permute_qk_weight(kb, num_heads, head_dim, out_axis=-1, inverse=True)
-            node["bias"] = np.concatenate([qb, kb, vb, b[hidden3:]])
-        return node
+    def put_proj(prefix, names, ks, bs):
+        """Emit torch keys in the dst layout; ``names`` = unfused names,
+        with the fused name derived from the block kind."""
+        if dst_fused:
+            fused_name = "qkv" if names[-1] == "v_proj" else "linear1"
+            node = {"kernel": np.concatenate(ks, axis=-1)}
+            if bs is not None:
+                node["bias"] = np.concatenate(bs)
+            put_lin(f"{prefix}.{fused_name}", node)
+        else:
+            for n, k, i in zip(names, ks, range(len(ks))):
+                node = {"kernel": k}
+                if bs is not None:
+                    node["bias"] = bs[i]
+                put_lin(f"{prefix}.{n}", node)
 
     def put_mlp_embedder(prefix, node):
         put_lin(f"{prefix}.in_layer", node["in_layer"])
@@ -280,7 +369,9 @@ def export_mmdit_state_dict(
         put_lin(f"{p}.img_mod.lin", blk["img_mod"]["lin"])
         put_lin(f"{p}.txt_mod.lin", blk["txt_mod"]["lin"])
         for s in ("img_attn", "txt_attn"):
-            put_lin(f"{p}.{s}.qkv", unpermute_qkv(blk[s]["qkv"]))
+            ks, bs = gather_fused(blk[s], ("q_proj", "k_proj", "v_proj"),
+                                  (hd, hd, hd))
+            put_proj(f"{p}.{s}", ("q_proj", "k_proj", "v_proj"), ks, bs)
             put_qknorm(f"{p}.{s}.norm", blk[s]["norm"])
             put_lin(f"{p}.{s}.proj", blk[s]["proj"])
         for s in ("img_mlp", "txt_mlp"):
@@ -291,7 +382,12 @@ def export_mmdit_state_dict(
     for i in range(n_single):
         blk = layer_slice(params["single_blocks"], i)
         p = f"single_blocks.{i}"
-        put_lin(f"{p}.linear1", unpermute_lin1(blk["linear1"]))
+        mlp_w = (np.asarray(blk["v_mlp"]["kernel"]).shape[-1] - hd
+                 if "v_mlp" in blk else
+                 np.asarray(blk["linear1"]["kernel"]).shape[-1] - 3 * hd)
+        ks, bs = gather_fused(blk, ("q_proj", "k_proj", "v_mlp"),
+                              (hd, hd, hd + mlp_w))
+        put_proj(p, ("q_proj", "k_proj", "v_mlp"), ks, bs)
         put_lin(f"{p}.linear2", blk["linear2"])
         put_qknorm(f"{p}.norm", blk["norm"])
         put_lin(f"{p}.modulation.lin", blk["modulation"]["lin"])
@@ -430,6 +526,8 @@ def load_checkpoint(
             rope_convention=cfg.rope_convention,
             cond_embed=cfg.cond_embed,
             guidance_embed=cfg.guidance_embed,
+            fused_qkv=cfg.fused_qkv,
+            src_rope_convention=getattr(cfg, "ckpt_rope_convention", "split"),
         )
     elif kind in ("hunyuan_vae", "dc_ae", "vae2d"):
         # generic torch conv/linear/norm mapping; module trees mirror the

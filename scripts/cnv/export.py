@@ -29,6 +29,14 @@ def main():
     p.add_argument("--config", required=True, help="the training config (model geometry)")
     p.add_argument("--source", choices=("ema", "params"), default="ema")
     p.add_argument("--kind", choices=("mmdit", "hunyuan_vae"), default="mmdit")
+    p.add_argument(
+        "--layout", choices=("published", "flux", "native"), default="native",
+        help="mmdit torch layout: 'published' = unfused q/k/v projections + "
+             "liger RoPE pairing (what the reference's shipping configs "
+             "load, fused_qkv=False use_liger_rope=True); 'flux' = fused "
+             "qkv + interleaved RoPE (original Flux dumps); 'native' = "
+             "keep the in-memory layout with liger pairing",
+    )
     args = p.parse_args()
 
     import jax
@@ -90,9 +98,15 @@ def main():
 
     if args.kind == "mmdit":
         c = module.config
+        dst_fused, dst_rope = {
+            "published": (False, "split"),
+            "flux": (True, "interleaved"),
+            "native": (None, "split"),
+        }[args.layout]
         sd = export_mmdit_state_dict(
             params, num_heads=c.num_heads, head_dim=c.hidden_size // c.num_heads,
             rope_convention=c.rope_convention,
+            dst_fused=dst_fused, dst_rope_convention=dst_rope,
         )
     else:
         sd = export_hunyuan_vae_state_dict(params)

@@ -41,13 +41,40 @@ def _stats(name, arr):
     }
 
 
-def verify_mmdit(path: str, ref_npz: str | None) -> dict:
+def mmdit_fixture_inputs(in_ch: int, ctx: int, vec: int, cond: bool,
+                         guid: bool, t: int = 3, h: int = 8, w: int = 12,
+                         lt: int = 8, seed: int = 0):
+    """The deterministic forward inputs used by verify_mmdit — exposed so a
+    torch-side oracle can capture ``expected`` on the SAME inputs (numpy
+    tuple ordered like MMDiTModel.__call__; None where a head is absent)."""
+    from opensora_tpu.utils.sampling import build_img_ids
+
+    B = 1
+    L = t * (h // 2) * (w // 2)
+    rng = np.random.default_rng(seed)
+    return (
+        rng.normal(size=(B, L, in_ch)).astype(np.float32),
+        np.asarray(build_img_ids(t, h, w, 2, B), np.float32),
+        rng.normal(size=(B, lt, ctx)).astype(np.float32),
+        np.zeros((B, lt, 3), np.float32),
+        np.full((B,), 0.4, np.float32),
+        rng.normal(size=(B, vec)).astype(np.float32),
+        rng.normal(size=(B, L, in_ch + 4)).astype(np.float32) if cond else None,
+        np.full((B,), 4.0, np.float32) if guid else None,
+    )
+
+
+def verify_mmdit(path: str, ref_npz: str | None,
+                 src_rope: str = "split") -> dict:
+    """``src_rope``: RoPE pairing the checkpoint was trained with —
+    "split" for the published Open-Sora-v2 weights (use_liger_rope=True,
+    reference configs/diffusion/inference/256px.py:41), "interleaved" for
+    original Flux dumps."""
     import jax
     import jax.numpy as jnp
 
     from opensora_tpu.models.mmdit.model import MMDiTConfig, MMDiTModel
     from opensora_tpu.utils.ckpt import convert_mmdit_state_dict, load_torch_state_dict
-    from opensora_tpu.utils.sampling import build_img_ids
 
     sd = load_torch_state_dict(path)
     depth = 1 + max(
@@ -65,26 +92,21 @@ def verify_mmdit(path: str, ref_npz: str | None) -> dict:
     mlp_ratio = sd["double_blocks.0.img_mlp.0.weight"].shape[0] / hidden
     head_dim = sd["double_blocks.0.img_attn.norm.query_norm.scale"].shape[0]
     heads = hidden // head_dim
-    qkv_bias = "double_blocks.0.img_attn.qkv.bias" in sd
+    # the published checkpoints use the UNFUSED projection layout
+    # (fused_qkv=False in the shipping configs); detect rather than assume
+    src_fused = "double_blocks.0.img_attn.qkv.weight" in sd
+    qkv_key = "qkv" if src_fused else "q_proj"
+    qkv_bias = f"double_blocks.0.img_attn.{qkv_key}.bias" in sd
     report = {
         "kind": "mmdit", "depth": depth, "depth_single": depth_s,
         "hidden": hidden, "heads": heads, "cond_embed": cond,
         "guidance_embed": guid, "n_tensors": len(sd),
+        "fused_qkv_src": src_fused, "src_rope_convention": src_rope,
     }
 
-    t, h, w, lt = 3, 8, 12, 8
-    B = 1
-    rng = np.random.default_rng(0)
-    args = (
-        jnp.asarray(rng.normal(size=(B, t * (h // 2) * (w // 2), in_ch)), jnp.float32),
-        build_img_ids(t, h, w, 2, B),
-        jnp.asarray(rng.normal(size=(B, lt, ctx)), jnp.float32),
-        jnp.zeros((B, lt, 3)),
-        jnp.full((B,), 0.4),
-        jnp.asarray(rng.normal(size=(B, vec)), jnp.float32),
-        jnp.asarray(rng.normal(size=(B, t * (h // 2) * (w // 2), in_ch + 4)), jnp.float32)
-        if cond else None,
-        jnp.full((B,), 4.0) if guid else None,
+    args = tuple(
+        jnp.asarray(a) if a is not None else None
+        for a in mmdit_fixture_inputs(in_ch, ctx, vec, cond, guid)
     )
 
     outs = {}
@@ -93,6 +115,7 @@ def verify_mmdit(path: str, ref_npz: str | None) -> dict:
             sd, depth=depth, depth_single=depth_s, num_heads=heads,
             head_dim=head_dim, rope_convention=conv,
             cond_embed=cond, guidance_embed=guid,
+            fused_qkv=True, src_rope_convention=src_rope,
         )
         cfg = MMDiTConfig(
             in_channels=in_ch, vec_in_dim=vec, context_in_dim=ctx,
@@ -172,10 +195,18 @@ def main():
     p.add_argument("checkpoint")
     p.add_argument("--ref-npz", default=None,
                    help=".npz with 'expected' outputs captured from torch on "
-                        "the same deterministic inputs (rng seed 0)")
+                        "the same deterministic inputs (rng seed 0; see "
+                        "mmdit_fixture_inputs)")
+    p.add_argument("--src-rope", default="split",
+                   choices=("split", "interleaved"),
+                   help="RoPE convention the checkpoint was trained with "
+                        "(published Open-Sora-v2 = split/liger)")
     a = p.parse_args()
-    fn = {"mmdit": verify_mmdit, "vae": verify_vae}[a.kind]
-    print(json.dumps(fn(a.checkpoint, a.ref_npz), indent=2))
+    if a.kind == "mmdit":
+        report = verify_mmdit(a.checkpoint, a.ref_npz, src_rope=a.src_rope)
+    else:
+        report = verify_vae(a.checkpoint, a.ref_npz)
+    print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":

@@ -93,6 +93,7 @@ def test_convert_and_rope_convention_equivalence():
             sd, depth=DEPTH, depth_single=DEPTH_S, num_heads=HEADS,
             head_dim=HEAD_DIM, rope_convention=conv,
             cond_embed=True, guidance_embed=True,
+            src_rope_convention="interleaved",
         )
         model = _model(conv)
         # structure must match a fresh init
@@ -206,9 +207,11 @@ def test_mmdit_export_import_roundtrip():
         sd, depth=DEPTH, depth_single=DEPTH_S, num_heads=HEADS,
         head_dim=HEAD_DIM, rope_convention="split",
         cond_embed=True, guidance_embed=True,
+        src_rope_convention="interleaved",
     )
     back = export_mmdit_state_dict(
-        params, num_heads=HEADS, head_dim=HEAD_DIM, rope_convention="split"
+        params, num_heads=HEADS, head_dim=HEAD_DIM, rope_convention="split",
+        dst_rope_convention="interleaved",
     )
     assert set(back) == set(sd), set(back) ^ set(sd)
     for k in sd:
@@ -299,6 +302,7 @@ def test_convert_equivalence_11b_layer_geometry():
         params = convert_mmdit_state_dict(
             sd, depth=1, depth_single=1, num_heads=heads, head_dim=head_dim,
             rope_convention=conv, cond_embed=True, guidance_embed=True,
+            src_rope_convention="interleaved",
         )
         model = MMDiTModel(cfg(conv))
         # structure check against eval_shape (a real init at this width would
@@ -313,7 +317,8 @@ def test_convert_equivalence_11b_layer_geometry():
         outs[conv] = np.asarray(model.apply({"params": params}, *args))
         if conv == "split":
             back = export_mmdit_state_dict(
-                params, num_heads=heads, head_dim=head_dim, rope_convention="split"
+                params, num_heads=heads, head_dim=head_dim,
+                rope_convention="split", dst_rope_convention="interleaved",
             )
             assert set(back) == set(sd)
             for k in sd:

@@ -1,0 +1,160 @@
+"""New VBench dimensions (background consistency, dynamic degree, motion
+smoothness, imaging quality) + the eval CLI driven end-to-end: synthetic
+videos → save_sample mp4/png + prompt txts → scripts/eval.py subprocess →
+JSON report with >= 6 VBench-style dimensions (VERDICT r2 item 8; the
+reference tracks these externally, README.md:290-302)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from opensora_tpu.eval.vbench import (
+    dynamic_degree,
+    evaluate_videos,
+    imaging_quality,
+    motion_smoothness,
+    temporal_consistency,
+)
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _moving_video(t=8, h=48, w=64, dx=3, noise=0.0, seed=0):
+    """A bright square translating dx px/frame on a grey background."""
+    rng = np.random.default_rng(seed)
+    v = np.full((3, t, h, w), -0.2, np.float32)
+    for f in range(t):
+        x0 = 4 + dx * f
+        v[:, f, 12:28, x0:x0 + 16] = 0.8
+    if noise:
+        v += rng.normal(0, noise, v.shape).astype(np.float32)
+    return np.clip(v, -1, 1)
+
+
+def test_dynamic_degree_separates_static_from_moving():
+    static = _moving_video(dx=0)
+    moving = _moving_video(dx=4)
+    assert not dynamic_degree(static)
+    assert dynamic_degree(moving)
+
+
+def test_motion_smoothness_orders_linear_vs_flicker():
+    linear = _moving_video(dx=2)
+    rng = np.random.default_rng(3)
+    flicker = np.clip(
+        rng.normal(0, 0.5, (3, 8, 48, 64)).astype(np.float32), -1, 1
+    )
+    assert motion_smoothness(linear) > motion_smoothness(flicker)
+    assert motion_smoothness(np.zeros((3, 2, 8, 8), np.float32)) == 1.0
+
+
+def test_imaging_quality_orders_sharp_vs_blurred_and_clipped():
+    sharp = _moving_video(noise=0.05)
+    # 5-tap box blur along H and W
+    blurred = sharp.copy()
+    for _ in range(3):
+        blurred = (
+            np.roll(blurred, 1, axis=2) + np.roll(blurred, -1, axis=2)
+            + np.roll(blurred, 1, axis=3) + np.roll(blurred, -1, axis=3)
+            + blurred
+        ) / 5.0
+    assert imaging_quality(sharp) > imaging_quality(blurred)
+    clipped = np.sign(sharp).astype(np.float32)  # everything at the rails
+    assert imaging_quality(clipped) < imaging_quality(sharp)
+
+
+def test_evaluate_videos_reports_all_unscored_dimensions():
+    vids = [_moving_video(), _moving_video(dx=0)]
+    rep = evaluate_videos(vids, ["a", "b"], clip_scorer=None)
+    for k in ("temporal_consistency", "motion_magnitude", "motion_smoothness",
+              "dynamic_degree", "imaging_quality"):
+        assert k in rep and np.isfinite(rep[k]), k
+    assert rep["dynamic_degree"] == 0.5  # one of two is dynamic
+
+
+def _tiny_clip_ckpt(dirname):
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file
+    from transformers import (
+        CLIPConfig,
+        CLIPModel,
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=16, eos_token_id=98, bos_token_id=97,
+        hidden_act="quick_gelu", attention_dropout=0.0, projection_dim=16,
+    )
+    vis_cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        projection_dim=16, hidden_act="quick_gelu", attention_dropout=0.0,
+    )
+    cfg = CLIPConfig.from_text_vision_configs(text_cfg, vis_cfg,
+                                              projection_dim=16)
+    torch.manual_seed(7)
+    hf = CLIPModel(cfg).eval()
+    os.makedirs(dirname, exist_ok=True)
+    save_file(
+        {k: v.contiguous() for k, v in hf.state_dict().items()},
+        os.path.join(dirname, "model.safetensors"),
+    )
+    cfg.to_json_file(os.path.join(dirname, "config.json"))
+    return dirname
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    """scripts/eval.py over a real sample dir (mp4 via cv2 + a png + prompt
+    txts + an orig/recn pair) with a tiny CLIP checkpoint: the CLI itself
+    must produce >= 6 VBench-style dimensions plus reconstruction metrics."""
+    from opensora_tpu.utils.inference import save_sample
+
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    for i, dx in enumerate((0, 3)):
+        path = save_sample(
+            _moving_video(dx=dx), str(samples / f"sample_{i:04d}"), fps=8
+        )
+        assert path.endswith(".mp4") and os.path.exists(path)
+        (samples / f"sample_{i:04d}.txt").write_text("a moving square")
+    # one still image goes through the png path
+    save_sample(_moving_video(t=1), str(samples / "sample_0002"))
+    # a reconstruction pair for the PSNR/SSIM branch
+    v = _moving_video(seed=5)
+    save_sample(v, str(samples / "pair_orig"), fps=8)
+    save_sample(
+        np.clip(v + 0.02, -1, 1), str(samples / "pair_recn"), fps=8
+    )
+
+    clip_dir = _tiny_clip_ckpt(str(tmp_path / "clip"))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "eval.py"),
+         "--samples", str(samples), "--clip", clip_dir],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout)
+
+    dims = {"clip_score", "subject_consistency", "background_consistency",
+            "temporal_consistency", "motion_smoothness", "dynamic_degree",
+            "imaging_quality", "motion_magnitude"}
+    present = dims & set(report)
+    assert len(present) >= 6, report
+    for k in present:
+        assert np.isfinite(report[k]), (k, report[k])
+    assert report["num_samples"] == 5
+    assert report["recon_psnr"] > 25.0
+    assert 0.0 <= report["recon_ssim"] <= 1.0
+
+
+def test_temporal_consistency_static_is_one():
+    assert temporal_consistency(_moving_video(dx=0)) > 0.999

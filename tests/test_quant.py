@@ -119,6 +119,23 @@ def test_w8a8_pallas_dense_mode():
     assert rel < 0.03, rel
 
 
+def test_w8a8_pallas_dense_mode_large_rows():
+    """>=1024 rows actually takes the Pallas kernel (small-row calls fall
+    back to the XLA path since round 3 — the kernel exists for the
+    long-sequence memory envelope, ops/int8_matmul.py)."""
+    from opensora_tpu.ops.quant import QuantDense, quantize_kernel
+
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=(512, 128)).astype(np.float32) * 0.2
+    x = jnp.asarray(rng.normal(size=(1, 1024, 512)).astype(np.float32))
+    q, s = quantize_kernel(w)
+    params = {"params": {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(s)}}
+    ref = x @ w
+    y = QuantDense(128, use_bias=False, dtype=jnp.float32, mode="w8a8_pallas").apply(params, x)
+    rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.03, rel
+
+
 def test_w8a8_output_quality_bound_realistic_width():
     """Serving-promotion bound (round-2): at wider geometry with flax-init
     weight statistics and N(0,1) latents, the full-model W8A8 output must

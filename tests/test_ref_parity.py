@@ -1,0 +1,230 @@
+"""Forward parity against the REFERENCE'S OWN torch MMDiT.
+
+Until now every parity test was JAX-vs-JAX or vs hand-built torch twins;
+here the oracle is /root/reference/opensora/models/mmdit/model.py itself,
+executing on CPU through the shims in ref_shim.py (flash_attn → SDPA,
+liger kernels → their documented math). Covered:
+
+- the PUBLISHED checkpoint wiring: fused_qkv=False + use_liger_rope=True
+  (configs/diffusion/inference/256px.py:40-41) converted into our fused
+  split-rope model — the exact production load path;
+- all four (fused_qkv x rope-convention) reference layouts at tiny
+  geometry, each against both of our in-memory conventions;
+- the real 11B layer geometry (hidden 3072, 24 heads, head_dim 128,
+  axes [16, 56, 56], mlp 4.0) at depth 1+1 with the published wiring;
+- the liger-rope shim itself, validated with the reference's own
+  rearrange_tensor/reverse_rearrange_tensor equivalence helpers
+  (models/mmdit/math.py:28-29, 68-117) — so the shim cannot drift from
+  the reference's non-liger path;
+- an exported .npz fixture driven through
+  scripts/cnv/verify_pretrained.py --ref-npz (the real-weights gate).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opensora_tpu.models.mmdit.model import MMDiTConfig, MMDiTModel
+from opensora_tpu.utils.ckpt import convert_mmdit_state_dict
+
+torch = pytest.importorskip("torch")
+
+from ref_shim import import_reference_mmdit  # noqa: E402  (installs shims)
+
+REF_MODEL, REF_LAYERS, REF_MATH = import_reference_mmdit()
+
+TINY = dict(in_channels=8, vec_in_dim=8, context_in_dim=16, hidden_size=32,
+            mlp_ratio=2.0, num_heads=2, depth=2, depth_single_blocks=2,
+            axes_dim=[8, 4, 4], theta=10_000, qkv_bias=True)
+FLAGSHIP = dict(in_channels=64, vec_in_dim=768, context_in_dim=4096,
+                hidden_size=3072, mlp_ratio=4.0, num_heads=24, depth=1,
+                depth_single_blocks=1, axes_dim=[16, 56, 56], theta=10_000,
+                qkv_bias=True)
+
+
+def _ref_model(geom, fused_qkv, use_liger_rope, cond=True, guidance=False,
+               seed=0):
+    cfg = REF_MODEL.MMDiTConfig(
+        from_pretrained=None, cache_dir=None, guidance_embed=guidance,
+        cond_embed=cond, fused_qkv=fused_qkv, use_liger_rope=use_liger_rope,
+        **geom,
+    )
+    torch.manual_seed(seed)
+    net = REF_MODEL.MMDiTModel(cfg).float().eval()
+    # the reference zero-inits cond_in (model.py:150-153) which would hide
+    # any cond-path conversion mistake — give it real weights
+    if cond:
+        with torch.no_grad():
+            net.cond_in.weight.normal_(0, 0.05)
+            net.cond_in.bias.normal_(0, 0.05)
+    return net
+
+
+def _inputs(geom, cond=True, guidance=False, t_len=3, h_tok=4, w_tok=4,
+            txt_len=4, seed=1):
+    """Matching (torch, jax) input tuples with a REAL (t, h, w) position
+    grid so every RoPE axis is exercised."""
+    rng = np.random.default_rng(seed)
+    L = t_len * h_tok * w_tok
+    inc = geom["in_channels"]
+    img = rng.normal(size=(1, L, inc)).astype(np.float32)
+    ids = np.stack(
+        np.meshgrid(np.arange(t_len, dtype=np.float32),
+                    np.arange(h_tok, dtype=np.float32),
+                    np.arange(w_tok, dtype=np.float32), indexing="ij"),
+        axis=-1,
+    ).reshape(1, L, 3)
+    txt = rng.normal(size=(1, txt_len, geom["context_in_dim"])).astype(np.float32)
+    txt_ids = np.zeros((1, txt_len, 3), np.float32)
+    t = np.full((1,), 0.4, np.float32)
+    y = rng.normal(size=(1, geom["vec_in_dim"])).astype(np.float32)
+    c = rng.normal(size=(1, L, inc + 4)).astype(np.float32) if cond else None
+    g = np.full((1,), 4.0, np.float32) if guidance else None
+
+    t_args = tuple(
+        torch.from_numpy(a) if a is not None else None
+        for a in (img, ids, txt, txt_ids, t, y, c, g)
+    )
+    j_args = tuple(
+        jnp.asarray(a) if a is not None else None
+        for a in (img, ids, txt, txt_ids, t, y, c, g)
+    )
+    return t_args, j_args
+
+
+def _ours_from_ref(net, geom, our_conv, our_fused, cond=True, guidance=False):
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    src_rope = "split" if net.config.use_liger_rope else "interleaved"
+    params = convert_mmdit_state_dict(
+        sd, depth=geom["depth"], depth_single=geom["depth_single_blocks"],
+        num_heads=geom["num_heads"],
+        head_dim=geom["hidden_size"] // geom["num_heads"],
+        rope_convention=our_conv, cond_embed=cond, guidance_embed=guidance,
+        fused_qkv=our_fused, src_rope_convention=src_rope,
+    )
+    cfg = MMDiTConfig(
+        guidance_embed=guidance, cond_embed=cond, fused_qkv=our_fused,
+        rope_convention=our_conv, attn_backend="xla", dtype="fp32",
+        **{k: v for k, v in geom.items() if k != "theta"},
+    )
+    return MMDiTModel(cfg), {"params": params}
+
+
+def _assert_parity(geom, ref_fused, ref_liger, our_conv, our_fused,
+                   guidance=False, atol=2e-4):
+    net = _ref_model(geom, ref_fused, ref_liger, guidance=guidance)
+    t_args, j_args = _inputs(geom, guidance=guidance)
+    with torch.no_grad():
+        expected = net(*[a for a in t_args if a is not None]).numpy()
+    model, variables = _ours_from_ref(net, geom, our_conv, our_fused,
+                                      guidance=guidance)
+    got = np.asarray(model.apply(variables, *j_args))
+    np.testing.assert_allclose(got, expected, atol=atol, rtol=1e-3)
+    return net, expected, t_args, j_args
+
+
+def test_published_wiring_tiny():
+    """unfused + liger reference (the Open_Sora_v2.safetensors wiring) →
+    our fused split-rope production model."""
+    _assert_parity(TINY, ref_fused=False, ref_liger=True,
+                   our_conv="split", our_fused=True)
+
+
+@pytest.mark.parametrize("ref_fused", [True, False])
+@pytest.mark.parametrize("ref_liger", [True, False])
+@pytest.mark.parametrize("our_conv", ["split", "interleaved"])
+def test_all_layout_combinations_tiny(ref_fused, ref_liger, our_conv):
+    """Every reference layout converts into every in-memory convention
+    (target layout = fused, our production choice)."""
+    _assert_parity(TINY, ref_fused=ref_fused, ref_liger=ref_liger,
+                   our_conv=our_conv, our_fused=True)
+
+
+def test_unfused_target_tiny():
+    """Our unfused in-memory layout also matches the oracle."""
+    _assert_parity(TINY, ref_fused=True, ref_liger=False,
+                   our_conv="split", our_fused=False)
+
+
+def test_guidance_embed_path_tiny():
+    """guidance_embed=True (the distilled flux image model wiring)."""
+    _assert_parity(TINY, ref_fused=True, ref_liger=True,
+                   our_conv="split", our_fused=True, guidance=True)
+
+
+def test_liger_rope_shim_matches_reference_identity():
+    """The shim's LigerRopeFunction must satisfy the reference's OWN
+    cross-convention identity (math.py:28-29): for any q/k,
+    reverse_rearrange(liger_apply(q, k)) == apply_rope(reverse_rearrange(q),
+    reverse_rearrange(k)) with EmbedND tables from the same ids. This pins
+    the shim to the reference's non-liger path, which needs no shim."""
+    torch.manual_seed(2)
+    B, H, L, D = 1, 2, 12, 16
+    q = torch.randn(B, H, L, D)
+    k = torch.randn(B, H, L, D)
+    ids = torch.arange(L, dtype=torch.float32).view(1, L, 1).repeat(1, 1, 3)
+    ids = ids * torch.tensor([1.0, 2.0, 3.0])
+
+    axes = [8, 4, 4]
+    pe = REF_LAYERS.EmbedND(dim=D, theta=10_000, axes_dim=axes)(ids)
+    cos, sin = REF_LAYERS.LigerEmbedND(dim=D, theta=10_000, axes_dim=axes)(ids)
+
+    from liger_kernel.ops.rope import LigerRopeFunction
+
+    ql, kl = LigerRopeFunction.apply(q, k, cos, sin)
+    ql = REF_MATH.reverse_rearrange_tensor(ql)
+    kl = REF_MATH.reverse_rearrange_tensor(kl)
+
+    qi, ki = REF_MATH.apply_rope(
+        REF_MATH.reverse_rearrange_tensor(q),
+        REF_MATH.reverse_rearrange_tensor(k),
+        pe,
+    )
+    np.testing.assert_allclose(ql.numpy(), qi.numpy(), atol=1e-5)
+    np.testing.assert_allclose(kl.numpy(), ki.numpy(), atol=1e-5)
+
+
+def test_published_wiring_flagship_geometry(tmp_path):
+    """The real 11B layer geometry at depth 1+1 with the exact published
+    wiring (unfused + liger + cond_embed, no guidance), oracle-checked, and
+    the same fixture driven through scripts/cnv/verify_pretrained.py
+    --ref-npz — proving the real-weights gate end-to-end."""
+    net, expected, t_args, j_args = _assert_parity(
+        FLAGSHIP, ref_fused=False, ref_liger=True,
+        our_conv="split", our_fused=True, atol=3e-3,
+    )
+
+    # write the checkpoint + fixture, then run the verification harness
+    # exactly as it will run on the published file
+    from safetensors.numpy import save_file
+
+    ckpt = str(tmp_path / "ref_flagship.safetensors")
+    save_file({k: v.numpy() for k, v in net.state_dict().items()}, ckpt)
+
+    npz = str(tmp_path / "ref_io.npz")
+    # verify_pretrained uses its own deterministic inputs; capture the
+    # reference output on THOSE inputs (shapes from verify_mmdit)
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_pretrained",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "cnv",
+                     "verify_pretrained.py"),
+    )
+    vp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vp)
+
+    ref_in = vp.mmdit_fixture_inputs(
+        in_ch=64, ctx=4096, vec=768, cond=True, guid=False,
+    )
+    with torch.no_grad():
+        ref_out = net(*[torch.from_numpy(np.asarray(a, np.float32))
+                        for a in ref_in if a is not None]).numpy()
+    np.savez(npz, expected=ref_out)
+
+    report = vp.verify_mmdit(ckpt, npz)
+    assert report["ref_parity"] == "PASS"
+    assert report["fused_qkv_src"] is False
