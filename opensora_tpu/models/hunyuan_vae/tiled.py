@@ -39,11 +39,24 @@ class TiledVAERunner:
 
     ``model``: the (unbound) AutoencoderKLCausal3D module.
     ``variables``: its params pytree.
+    ``spatial_batch``: stack up to this many same-shape spatial tiles along
+    the batch axis per core call. At the 768px latent the spatial grid is
+    4x4 per temporal tile (48 core dispatches total); batching the nine
+    interior 32x32 tiles into ceil(9/k) calls raises conv efficiency and
+    cuts dispatch count, at the price of k x one tile's activation memory
+    (~1.1 GiB bf16 at the widest decoder layer per 32x32-latent tile) — so
+    the cap stays small. 1 = exact round-2 behavior.
     """
 
-    def __init__(self, model: AutoencoderKLCausal3D, variables):
+    def __init__(
+        self,
+        model: AutoencoderKLCausal3D,
+        variables,
+        spatial_batch: int = 1,
+    ):
         self.model = model
         self.variables = variables
+        self.spatial_batch = max(1, int(spatial_batch))
         self._encode_core = jax.jit(
             lambda v, t: model.apply(v, t, True, method="_encode_moments")
         )
@@ -73,18 +86,43 @@ class TiledVAERunner:
         return self.cfg.sample_tsize // self.cfg.time_compression_ratio
 
     # ---- spatial tiling (same blend math as model.py:285-334) ----
+    def _run_tiles(self, core, tiles: dict):
+        """Run ``core`` over ``{key: tile}``; same-shape tiles are stacked
+        along batch (up to ``spatial_batch`` per call). Conv/norm are
+        batch-parallel, so this matches per-tile calls up to XLA's
+        batch-shape-dependent reduction blocking (~1e-5 fp32)."""
+        if self.spatial_batch <= 1:
+            return {k: core(self.variables, t) for k, t in tiles.items()}
+        groups: dict = {}
+        for k, t in tiles.items():
+            groups.setdefault(t.shape, []).append(k)
+        out = {}
+        for keys in groups.values():
+            bsz = tiles[keys[0]].shape[0]
+            for s in range(0, len(keys), self.spatial_batch):
+                chunk = keys[s:s + self.spatial_batch]
+                if len(chunk) == 1:
+                    out[chunk[0]] = core(self.variables, tiles[chunk[0]])
+                    continue
+                stacked = jnp.concatenate([tiles[k] for k in chunk], axis=0)
+                res = core(self.variables, stacked)
+                for n, k in enumerate(chunk):
+                    out[k] = res[n * bsz:(n + 1) * bsz]
+        return out
+
     def _spatial_tiled(self, x_cl, core, tile_in, tile_out):
         overlap = int(tile_in * (1 - self.cfg.tile_overlap_factor))
         blend = int(tile_out * self.cfg.tile_overlap_factor)
         limit = tile_out - blend
 
-        rows = []
-        for i in range(0, x_cl.shape[2], overlap):
-            row = []
-            for j in range(0, x_cl.shape[3], overlap):
-                tile = x_cl[:, :, i:i + tile_in, j:j + tile_in, :]
-                row.append(core(self.variables, tile))
-            rows.append(row)
+        ii = list(range(0, x_cl.shape[2], overlap))
+        jj = list(range(0, x_cl.shape[3], overlap))
+        tiles = {
+            (i, j): x_cl[:, :, i:i + tile_in, j:j + tile_in, :]
+            for i in ii for j in jj
+        }
+        done = self._run_tiles(core, tiles)
+        rows = [[done[(i, j)] for j in jj] for i in ii]
         result_rows = []
         for i, row in enumerate(rows):
             result = []

@@ -35,6 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # 1/ln(2)
+LN2 = 0.6931471805599453
 
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
@@ -118,24 +120,28 @@ def _fwd_kernel(
     s = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    # sm_scale is folded into the exp as an FMA (exp(s*c - m) is one
-    # mul-add + exp instead of mul, then sub, then exp) and into the
-    # (bq, 1) running-max lane instead of the (bq, bk) tile — this kernel
-    # is VPU-bound (~6 vector ops per logit against a half-idle MXU), so
-    # one fewer per-logit op is a direct win. Masking happens pre-scale
-    # with NEG_INF/sm_scale so every threshold below stays unchanged.
+    # The whole softmax bookkeeping runs in the exp2 domain: the VPU's
+    # exponential is exp2, so exp(x) costs a hidden per-logit multiply by
+    # log2(e). Folding sm_scale*log2e into ONE compile-time constant makes
+    # the per-logit work exactly one FMA + exp2 (this kernel is VPU-bound,
+    # ~6 vector ops per logit against a half-idle MXU — per-logit ops are
+    # the whole game). m/l scratch therefore hold log2-domain values; the
+    # natural-log LSE is reconstructed once per row at finalize. Masking
+    # happens pre-scale with NEG_INF/c so every threshold stays unchanged.
+    c = sm_scale * LOG2E
     s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block,
-                     mask_val=NEG_INF / sm_scale)
+                     mask_val=NEG_INF / c)
 
     m_prev = m_scr[:, :1]
     l_prev = l_scr[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True) * sm_scale
+    m_cur = jnp.max(s, axis=-1, keepdims=True) * c
     m_new = jnp.maximum(m_prev, m_cur)
-    # guard fully-masked tiles: exp(NEG_INF - NEG_INF) would be 1, poisoning
-    # l/acc; anchor the exponent at 0 when the whole row is still masked.
+    # guard fully-masked tiles: exp2(NEG_INF - NEG_INF) would be 1,
+    # poisoning l/acc; anchor the exponent at 0 when the whole row is
+    # still masked.
     m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
-    p = jnp.exp(s * sm_scale - m_safe)
-    correction = jnp.exp(m_prev - m_safe)
+    p = jnp.exp2(s * c - m_safe)
+    correction = jnp.exp2(m_prev - m_safe)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = lax.dot_general(
@@ -151,7 +157,10 @@ def _fwd_kernel(
         l = l_scr[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0, :, 0] = (m_scr[:, 0] + jnp.log(l_safe[:, 0])).astype(lse_ref.dtype)
+        # m is log2-domain: natural lse = m*ln2 + log(l)
+        lse_ref[0, 0, :, 0] = (
+            m_scr[:, 0] * LN2 + jnp.log(l_safe[:, 0])
+        ).astype(lse_ref.dtype)
 
 
 def _flash_forward(
@@ -235,12 +244,14 @@ def _dkv_kernel(
         k = _zero_tail_rows(k, ki, block_k, kv_len)
         v = _zero_tail_rows(v, ki, block_k, kv_len)
 
+    # exp2-domain recompute (see _fwd_kernel): one FMA + exp2 per logit
+    c = sm_scale * LOG2E
     s = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
+    ) * c
     s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block)
-    lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse)
-    p = jnp.exp(s - lse_safe[:, None])  # (bq, bk)
+    lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse) * LOG2E
+    p = jnp.exp2(s - lse_safe[:, None])  # (bq, bk)
     if q_len % block_q != 0:
         p = _zero_tail_rows(p, qi, block_q, q_len)
 
@@ -293,12 +304,13 @@ def _dq_kernel(
         k = _zero_tail_rows(k, ki, block_k, kv_len)
         v = _zero_tail_rows(v, ki, block_k, kv_len)
 
+    c = sm_scale * LOG2E
     s = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
+    ) * c
     s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block)
-    lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse)
-    p = jnp.exp(s - lse_safe[:, None])
+    lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse) * LOG2E
+    p = jnp.exp2(s - lse_safe[:, None])
     if q_len % block_q != 0:
         p = _zero_tail_rows(p, qi, block_q, q_len)
     dp = lax.dot_general(

@@ -24,3 +24,27 @@ jax.config.update("jax_platforms", "cpu")
 _cache = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_global_state():
+    """Tests that set process-global state must not leak it into later
+    tests:
+    - a global mesh (train CLI, sharding suites) makes the model's
+      with_sharding_constraint hints reference devices/axes from a dead
+      context (observed: test_train_cli -> test_lora ValueError);
+    - parse_configs writes the AE_SPATIAL_COMPRESSION env side-channel
+      (observed: test_config_surface parsing high_compression.py set 32 and
+      broke test_data's pack/unpack at the default 16)."""
+    ae = os.environ.get("AE_SPATIAL_COMPRESSION")
+    yield
+    from opensora_tpu.parallel.context import set_mesh
+
+    set_mesh(None)
+    if ae is None:
+        os.environ.pop("AE_SPATIAL_COMPRESSION", None)
+    else:
+        os.environ["AE_SPATIAL_COMPRESSION"] = ae

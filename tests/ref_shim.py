@@ -40,6 +40,13 @@ def _module(name: str) -> types.ModuleType:
     mod = sys.modules.get(name)
     if mod is None:
         mod = types.ModuleType(name)
+        # a sys.modules entry without __spec__ breaks importlib.util.
+        # find_spec for OTHER libraries that probe availability (observed:
+        # transformers probing liger_kernel raised "ValueError: __spec__
+        # is None" in unrelated tests once the shims were installed)
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         sys.modules[name] = mod
         if "." in name:
             parent, _, child = name.rpartition(".")

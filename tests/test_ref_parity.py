@@ -228,3 +228,22 @@ def test_published_wiring_flagship_geometry(tmp_path):
     report = vp.verify_mmdit(ckpt, npz)
     assert report["ref_parity"] == "PASS"
     assert report["fused_qkv_src"] is False
+
+    # the real-weights capture CLI must reproduce the same fixture
+    # (scripts/cnv/capture_ref_fixture.py — the flow that runs the moment
+    # the published file is on disk)
+    import subprocess
+    import sys as _sys
+
+    npz2 = str(tmp_path / "ref_io_cli.npz")
+    proc = subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts", "cnv",
+                      "capture_ref_fixture.py"),
+         ckpt, npz2],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    np.testing.assert_allclose(
+        np.load(npz2)["expected"], ref_out, atol=1e-5, rtol=1e-5
+    )
