@@ -101,21 +101,21 @@ def _host_rand_like(shapes, seed, scale=0.02):
         n = int(np.prod(s.shape)) if s.shape else 1
         off = (i * 997) % (1 << 19)
         if s.dtype == np.int8:
-            pool = pool_i
+            pool, out_dtype = pool_i, np.int8
         elif str(s.dtype) == "float32" and s.ndim <= 1:
-            pool = pool_s  # quant scales: positive
+            # quant scales / norm vectors: positive, tiny — keep fp32
+            pool, out_dtype = pool_s, np.float32
         elif s.dtype in (np.float32, ml_dtypes.bfloat16):
-            pool = pool_f
+            # big float leaves are ALWAYS emitted bf16, even when the init
+            # shape says fp32: serving runs bf16 and an fp32 T5-XXL tree is
+            # 18.8 GiB — it OOMed the 16 GiB chip on upload (round-3 run 1)
+            pool, out_dtype = pool_f, ml_dtypes.bfloat16
         else:
             out.append(np.zeros(s.shape, s.dtype))
             continue
         reps = -(-(n + off) // pool.size)
         buf = np.tile(pool, reps)[off:off + n].reshape(s.shape)
-        if s.dtype == np.float32:
-            buf = buf.astype(np.float32)
-        elif str(s.dtype) == "bfloat16":
-            buf = buf.astype(ml_dtypes.bfloat16)
-        out.append(np.ascontiguousarray(buf))
+        out.append(np.ascontiguousarray(buf.astype(out_dtype, copy=False)))
     return jax.tree.unflatten(treedef, out)
 
 

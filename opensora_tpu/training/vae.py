@@ -63,17 +63,29 @@ def make_vae_train_step(
     ema_decay: float = 0.9999,
     use_discriminator: bool = True,
     adaptive_disc_weight: bool = True,
+    grad_checkpoint: bool = False,
 ):
-    """Returns train_step(state, batch{'video'}, rng) → (state, metrics)."""
+    """Returns train_step(state, batch{'video'}, rng) → (state, metrics).
+
+    ``grad_checkpoint`` remats the AE forward (reference ``grad_checkpoint``
+    for long-clip / high-res AE training, docs/ae.md) — activations are
+    recomputed in the backward instead of held across the whole
+    encode+decode. The discriminator is never rematted, so the adaptive
+    generator weight's last-layer gradients stay exact (the reference needs
+    ``disc_off_grad_ckpt`` for the same reason)."""
 
     from opensora_tpu.models.vae2d.losses import adaptive_generator_weight
+
+    def ae_forward(ae_params, video, rng):
+        return ae_model.apply({"params": ae_params}, video, rngs={"gaussian": rng})
+
+    if grad_checkpoint:
+        ae_forward = jax.checkpoint(ae_forward)
 
     def gen_loss_fn(params, video, rng, disc_params, global_step):
         logvar = params.get("loss_logvar", jnp.zeros(()))
         ae_params = {k: v for k, v in params.items() if k != "loss_logvar"}
-        x_rec, posterior, z = ae_model.apply(
-            {"params": ae_params}, video, rngs={"gaussian": rng}
-        )
+        x_rec, posterior, z = ae_forward(ae_params, video, rng)
         losses = vae_loss(
             video, x_rec, posterior, logvar,
             perceptual_loss_fn=perceptual_loss_fn,
