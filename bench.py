@@ -243,8 +243,14 @@ def bench_denoise(log):
     # CFG (B=1, x3 passes per denoise step); Pallas int8 dense keeps the
     # int32 accumulators out of HBM (ops/int8_matmul.py).
     t0 = time.perf_counter()
+    # seq_chunks=16: sequence-chunked block compute (one MLP chunk's
+    # temporaries live at a time) — the unchunked 768px forward OOMs by
+    # 3.4 GiB (linear1's 3.07 GiB output + two 1.75 GiB gelu buffers next
+    # to 11.2 GiB of weights, round-3 run 2)
     args768 = _mmdit_args(33, 96, 96, 512, B=1, seed=20)
-    model_768 = MMDiTModel(MMDiTConfig(**base, quantized="w8a8_pallas"))
+    model_768 = MMDiTModel(
+        MMDiTConfig(**base, quantized="w8a8_pallas", seq_chunks=16)
+    )
     fwd = jax.jit(lambda v, *a: model_768.apply(v, *a))
     t_fwd = _timed(lambda: fwd(variables, *args768), fetch, n1=1, n2=2)
     times["w8a8_768_fwd"] = t_fwd

@@ -120,6 +120,51 @@ def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return x.reshape(b, l, num_heads, d // num_heads)
 
 
+def _largest_divisor(n: int, cap: int) -> int:
+    for c in range(min(cap, n), 0, -1):
+        if n % c == 0:
+            return c
+    return 1
+
+
+# Streams shorter than this per chunk aren't worth chunking: every chunk
+# re-reads the MLP weights from HBM, so e.g. splitting the 512-token txt
+# stream 16 ways would cost 16x weight traffic to save a few MB of
+# activations. (Tests monkeypatch this to 1 to exercise chunking at tiny
+# geometry.)
+_MIN_CHUNK_TOKENS = 2048
+
+
+def _seq_chunked(mdl: nn.Module, fn, n_chunks: int, *seqs: jnp.ndarray):
+    """Apply ``fn(mdl, *token_chunks)`` over the sequence axis in
+    ``n_chunks`` pieces via ``nn.scan`` and re-assemble.
+
+    The scan sequences the chunks, so XLA's peak live set for everything
+    inside ``fn`` is one chunk — this is the serving-memory lever that fits
+    the 768px/129f sequence (76k tokens, 3.07 GiB for a single fused-mlp
+    projection output) next to the 11.2 GiB int8 11B weights on one 16 GiB
+    chip. ``fn`` may close over per-batch (B, 1, D) modulation tensors; all
+    ``seqs`` must share (B, L) leading shape. Falls back to a direct call
+    when the sequence doesn't split.
+    """
+    B, L = seqs[0].shape[0], seqs[0].shape[1]
+    n = _largest_divisor(L, min(n_chunks, max(1, L // _MIN_CHUNK_TOKENS)))
+    if n <= 1:
+        return fn(mdl, *seqs)
+    split = tuple(
+        s.reshape(B, n, L // n, s.shape[-1]).transpose(1, 0, 2, 3) for s in seqs
+    )
+
+    def body(m, carry, xs):
+        return carry, fn(m, *xs)
+
+    _, out = nn.scan(
+        body, variable_broadcast="params", split_rngs={"params": False},
+        in_axes=0, out_axes=0,
+    )(mdl, None, split)
+    return out.transpose(1, 0, 2, 3).reshape(B, L, out.shape[-1])
+
+
 class SelfAttention(nn.Module):
     """QKV projection + QKNorm + output projection.
 
@@ -154,11 +199,21 @@ class SelfAttention(nn.Module):
         self.norm = QKNorm(self.dim // self.num_heads, self.param_dtype)
         self.proj = dense(self.quantized, self.dim, **common)
 
-    def qkv_heads(self, x: jnp.ndarray):
-        """Project to per-head q, k, v of shape (B, L, H, D)."""
+    def qkv_heads(self, x: jnp.ndarray, split_compute: bool = False):
+        """Project to per-head q, k, v of shape (B, L, H, D).
+
+        ``split_compute`` computes a fused qkv kernel as three column-sliced
+        matmuls so the (B, L, 3·dim) buffer never materializes (long-sequence
+        serving; see _seq_chunked)."""
         if self.fused_qkv:
-            qkv = self.qkv(x)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if split_compute:
+                d = self.dim
+                q = self.qkv(x, col_slice=(0, d))
+                k = self.qkv(x, col_slice=(d, 2 * d))
+                v = self.qkv(x, col_slice=(2 * d, 3 * d))
+            else:
+                qkv = self.qkv(x)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q, k, v = self.q_proj(x), self.k_proj(x), self.v_proj(x)
         q = _split_heads(q, self.num_heads)
@@ -211,6 +266,8 @@ class DoubleStreamBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     quantized: "bool | str" = False
+    # >1: column-sliced qkv + _seq_chunked MLP tail (long-sequence serving)
+    seq_chunks: int = 1
 
     def setup(self):
         common = dict(
@@ -236,11 +293,12 @@ class DoubleStreamBlock(nn.Module):
             self.txt_mod(vec)
         )
 
+        split = self.seq_chunks > 1
         img_mod = modulate(layer_norm(img), img_shift1, img_scale1)
         txt_mod = modulate(layer_norm(txt), txt_shift1, txt_scale1)
 
-        img_q, img_k, img_v = self.img_attn.qkv_heads(img_mod)
-        txt_q, txt_k, txt_v = self.txt_attn.qkv_heads(txt_mod)
+        img_q, img_k, img_v = self.img_attn.qkv_heads(img_mod, split_compute=split)
+        txt_q, txt_k, txt_v = self.txt_attn.qkv_heads(txt_mod, split_compute=split)
 
         # joint attention over [txt, img]
         q = jnp.concatenate([txt_q, img_q], axis=1)
@@ -254,13 +312,27 @@ class DoubleStreamBlock(nn.Module):
         txt_attn, img_attn = attn_out[:, :txt_len], attn_out[:, txt_len:]
 
         img = img + img_gate1 * self.img_attn.proj(img_attn)
-        img = img + img_gate2 * self.img_mlp(
-            modulate(layer_norm(img), img_shift2, img_scale2)
-        )
         txt = txt + txt_gate1 * self.txt_attn.proj(txt_attn)
-        txt = txt + txt_gate2 * self.txt_mlp(
-            modulate(layer_norm(txt), txt_shift2, txt_scale2)
-        )
+        if split:
+            # one MLP chunk (plus its gelu buffer) live at a time; the
+            # modulate/layer_norm recompute per chunk is VPU noise
+            img = img + img_gate2 * _seq_chunked(
+                self,
+                lambda m, x_c: m.img_mlp(modulate(layer_norm(x_c), img_shift2, img_scale2)),
+                self.seq_chunks, img,
+            )
+            txt = txt + txt_gate2 * _seq_chunked(
+                self,
+                lambda m, x_c: m.txt_mlp(modulate(layer_norm(x_c), txt_shift2, txt_scale2)),
+                self.seq_chunks, txt,
+            )
+        else:
+            img = img + img_gate2 * self.img_mlp(
+                modulate(layer_norm(img), img_shift2, img_scale2)
+            )
+            txt = txt + txt_gate2 * self.txt_mlp(
+                modulate(layer_norm(txt), txt_shift2, txt_scale2)
+            )
         return img, txt
 
 
@@ -277,6 +349,8 @@ class SingleStreamBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     quantized: "bool | str" = False
+    # >1: column-sliced qkv + _seq_chunked MLP tail (long-sequence serving)
+    seq_chunks: int = 1
 
     def setup(self):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -296,16 +370,30 @@ class SingleStreamBlock(nn.Module):
 
     def __call__(self, x, vec, pe):
         (shift, scale, gate), _ = self.modulation(vec)
+        h = self.hidden_size
+        chunked = self.seq_chunks > 1
         x_mod = modulate(layer_norm(x), shift, scale)
-        if self.fused_qkv:
+        mlp = None
+        if chunked:
+            # column-sliced projections: neither the (B, L, 3h + mlp_hidden)
+            # fused output nor the (B, L, mlp_hidden) part exists full-length
+            if self.fused_qkv:
+                q = self.linear1(x_mod, col_slice=(0, h))
+                k = self.linear1(x_mod, col_slice=(h, 2 * h))
+                v = self.linear1(x_mod, col_slice=(2 * h, 3 * h))
+            else:
+                q = self.q_proj(x_mod)
+                k = self.k_proj(x_mod)
+                v = self.v_mlp(x_mod, col_slice=(0, h))
+        elif self.fused_qkv:
             proj = self.linear1(x_mod)
-            qkv, mlp = jnp.split(proj, [3 * self.hidden_size], axis=-1)
+            qkv, mlp = jnp.split(proj, [3 * h], axis=-1)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = self.q_proj(x_mod)
             k = self.k_proj(x_mod)
             v_mlp = self.v_mlp(x_mod)
-            v, mlp = jnp.split(v_mlp, [self.hidden_size], axis=-1)
+            v, mlp = jnp.split(v_mlp, [h], axis=-1)
         q = _split_heads(q, self.num_heads)
         k = _split_heads(k, self.num_heads)
         v = _split_heads(v, self.num_heads)
@@ -317,9 +405,28 @@ class SingleStreamBlock(nn.Module):
             q, k, v, pe=pe,
             rope_convention=self.rope_convention, backend=self.attn_backend,
         )
-        out = self.linear2(
-            jnp.concatenate([attn_out, nn.gelu(mlp, approximate=True)], axis=-1)
-        )
+        if chunked:
+            # recompute the modulated input per chunk (frees the full x_mod
+            # before attention) and run the MLP tail one chunk at a time
+            def tail(m, x_c, attn_c):
+                xm_c = modulate(layer_norm(x_c), shift, scale)
+                if m.fused_qkv:
+                    mlp_c = m.linear1(
+                        xm_c, col_slice=(3 * h, 3 * h + m.mlp_hidden_dim)
+                    )
+                else:
+                    mlp_c = m.v_mlp(xm_c, col_slice=(h, h + m.mlp_hidden_dim))
+                return m.linear2(
+                    jnp.concatenate(
+                        [attn_c, nn.gelu(mlp_c, approximate=True)], axis=-1
+                    )
+                )
+
+            out = _seq_chunked(self, tail, self.seq_chunks, x, attn_out)
+        else:
+            out = self.linear2(
+                jnp.concatenate([attn_out, nn.gelu(mlp, approximate=True)], axis=-1)
+            )
         return x + gate * out
 
 

@@ -60,6 +60,11 @@ class MMDiTConfig:
     # original Flux checkpoints are "interleaved"
     ckpt_rope_convention: str = "split"
     attn_backend: Optional[str] = None  # None = auto (pallas on TPU)
+    # >1: sequence-chunked block compute (models/mmdit/layers.py
+    # _seq_chunked) — bounds per-block temp HBM to ~1/seq_chunks so the
+    # 768px/129f 76k-token forward fits beside the int8 11B weights on one
+    # 16 GiB chip. Serving knob; leave 1 for training (remat covers bwd).
+    seq_chunks: int = 1
     remat: bool = False  # checkpoint each scanned block
     quantized: "bool | str" = False  # False | True/"w8" (weight-only) | "w8a8" (ops/quant.py)
     # remat policy ≙ reference grad_ckpt_settings + activation CPU offload
@@ -198,6 +203,7 @@ def make_block_scan(cfg: MMDiTConfig, kind: str, length: int, name=None):
         rope_convention=cfg.rope_convention,
         attn_backend=cfg.attn_backend,
         quantized=cfg.quantized,
+        seq_chunks=cfg.seq_chunks,
         dtype=to_jax_dtype(cfg.dtype),
         param_dtype=to_jax_dtype(cfg.param_dtype),
     )

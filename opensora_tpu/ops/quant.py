@@ -27,7 +27,14 @@ import numpy as np
 
 
 class QuantDense(nn.Module):
-    """Drop-in Dense over int8 weights + per-output-channel fp32 scales."""
+    """Drop-in Dense over int8 weights + per-output-channel fp32 scales.
+
+    ``col_slice=(a, b)`` applies only columns [a, b) of the kernel (and the
+    matching scale/bias slice) — valid because quantization is
+    per-output-channel. Used by the sequence-chunked MMDiT blocks to compute
+    the qkv and MLP column groups of a fused projection in separate passes
+    (models/mmdit/layers.py) so the full-width output never materializes.
+    """
 
     features: int
     use_bias: bool = True
@@ -36,7 +43,9 @@ class QuantDense(nn.Module):
     mode: str = "w8"  # "w8" | "w8a8"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, col_slice: Optional[tuple] = None
+    ) -> jnp.ndarray:
         in_f = x.shape[-1]
         q = self.param(
             "kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8
@@ -44,6 +53,12 @@ class QuantDense(nn.Module):
         scale = self.param(
             "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
         )
+        features = self.features
+        if col_slice is not None:
+            a, b = col_slice
+            q = jax.lax.slice_in_dim(q, a, b, axis=1)
+            scale = jax.lax.slice_in_dim(scale, a, b, axis=0)
+            features = b - a
         n_rows = x.size // in_f
         if self.mode == "w8a8" or (
             # the Pallas path exists to keep the int32 accumulator out of
@@ -81,7 +96,7 @@ class QuantDense(nn.Module):
                 block_k=512 if in_f % 1024 else 1024,
                 out_dtype=self.dtype,
                 interpret=jax.default_backend() != "tpu",
-            ).reshape(*lead, self.features)
+            ).reshape(*lead, features)
         else:
             x = x.astype(self.dtype)
             # keep the dequant scale multiply in fp32 — rounding the
@@ -92,17 +107,55 @@ class QuantDense(nn.Module):
             ).astype(self.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if col_slice is not None:
+                b = jax.lax.slice_in_dim(b, col_slice[0], col_slice[1], axis=0)
             y = y + b.astype(self.dtype)
         return y
 
 
+class SliceableDense(nn.Module):
+    """nn.Dense twin (identical param names/shapes/init) whose call can apply
+    only a column range of the kernel: ``col_slice=(a, b)`` computes
+    ``x @ W[:, a:b] (+ bias[a:b])``. Lets the sequence-chunked MMDiT blocks
+    share one code path between the bf16 and int8 weight formats."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, col_slice: Optional[tuple] = None
+    ) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (x.shape[-1], self.features), self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias else None
+        )
+        if col_slice is not None:
+            a, b = col_slice
+            kernel = jax.lax.slice_in_dim(kernel, a, b, axis=1)
+            if bias is not None:
+                bias = jax.lax.slice_in_dim(bias, a, b, axis=0)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jnp.dot(x, kernel)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 def dense(quantized: Union[bool, str], features: int, **kw):
-    """nn.Dense or QuantDense, keyword-compatible. ``quantized`` may be a
-    bool (True → weight-only "w8") or a mode string ("w8" / "w8a8")."""
+    """SliceableDense (≡ nn.Dense) or QuantDense, keyword-compatible.
+    ``quantized`` may be a bool (True → weight-only "w8") or a mode string
+    ("w8" / "w8a8" / "w8a8_pallas")."""
     if quantized:
         mode = quantized if isinstance(quantized, str) else "w8"
         return QuantDense(features, mode=mode, **kw)
-    return nn.Dense(features, **kw)
+    return SliceableDense(features, **kw)
 
 
 def quantize_kernel(kernel: np.ndarray):

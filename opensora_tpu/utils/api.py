@@ -291,6 +291,7 @@ def prepare_api(
             image_osci=opt.image_osci,
             scale_temporal_osci=(opt.scale_temporal_osci and "i2v" in cond_type),
             patch_size=patch_size,
+            cfg_batched=opt.cfg_batched,
         )
         if opt.method == S.SamplingMethod.I2V:
             static_kwargs["guidance_img"] = additional.get("guidance_img") or 1.0

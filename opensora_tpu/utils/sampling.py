@@ -18,6 +18,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from einops import rearrange, repeat
+from jax import lax
 
 from opensora_tpu.datasets.aspect import get_image_size
 from opensora_tpu.utils.config import ae_spatial_compression
@@ -49,6 +50,11 @@ class SamplingOption:
     temporal_reduction: int = 1
     is_causal_vae: bool = False
     flow_shift: Optional[float] = None
+    # TPU single-chip knob (no reference equivalent — the reference offloads
+    # to CPU instead): False runs the 3-way CFG as three sequential B=b model
+    # passes per step. Required at 768px/129f on one 16 GiB chip, where the
+    # CFG-tripled activations don't fit beside the int8 11B weights.
+    cfg_batched: bool = True
 
 
 def sanitize_sampling_option(opt: SamplingOption) -> SamplingOption:
@@ -282,6 +288,7 @@ class I2VDenoiser(Denoiser):
         image_osci: bool = False,
         scale_temporal_osci: bool = False,
         patch_size: int = 2,
+        cfg_batched: bool = True,
         **model_kwargs,
     ) -> jnp.ndarray:
         num_steps = timesteps.shape[0] - 1
@@ -323,13 +330,37 @@ class I2VDenoiser(Denoiser):
         def step(carry, inp):
             x = carry  # (b, L, C) — the cond slice only
             i, t_curr, t_prev = inp
-            x3 = jnp.concatenate([x, x, x], axis=0)
-            t_vec = jnp.full((b3,), t_curr, dtype=img.dtype)
-            pred = model_fn(
-                img=x3, cond=cond3, timesteps=t_vec, guidance=guidance_vec,
-                **model_kwargs,
-            )
-            cond_p, uncond_p, uncond2_p = jnp.split(pred, 3, axis=0)
+            if cfg_batched:
+                x3 = jnp.concatenate([x, x, x], axis=0)
+                t_vec = jnp.full((b3,), t_curr, dtype=img.dtype)
+                pred = model_fn(
+                    img=x3, cond=cond3, timesteps=t_vec, guidance=guidance_vec,
+                    **model_kwargs,
+                )
+                cond_p, uncond_p, uncond2_p = jnp.split(pred, 3, axis=0)
+            else:
+                # sequential CFG: three B=b passes sharing one compiled
+                # executable (identical shapes), ~1/3 the activation memory
+                t_vec = jnp.full((b,), t_curr, dtype=img.dtype)
+
+                def one_pass(j):
+                    kw = {
+                        k: (
+                            lax.slice_in_dim(v, j * b, (j + 1) * b, axis=0)
+                            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == b3
+                            else v
+                        )
+                        for k, v in model_kwargs.items()
+                    }
+                    return model_fn(
+                        img=x,
+                        cond=lax.slice_in_dim(cond3, j * b, (j + 1) * b, axis=0),
+                        timesteps=t_vec,
+                        guidance=lax.slice_in_dim(guidance_vec, j * b, (j + 1) * b, axis=0),
+                        **kw,
+                    )
+
+                cond_p, uncond_p, uncond2_p = one_pass(0), one_pass(1), one_pass(2)
 
             text_gs = tg[i]
             if scale_temporal_osci:
@@ -338,11 +369,11 @@ class I2VDenoiser(Denoiser):
                 img_gs_full = jnp.broadcast_to(
                     img_gs_t[None, None, :, None, None], (b, bc, bT, bh, bw)
                 )
-                image_gs = pack(img_gs_full, patch_size=patch_size).astype(pred.dtype)
+                image_gs = pack(img_gs_full, patch_size=patch_size).astype(cond_p.dtype)
                 # only apply ramp when base gs > 1 (reference condition)
                 image_gs = jnp.where(ig_base[i] > 1.0, image_gs, ig_base[i])
             else:
-                image_gs = ig_base[i].astype(pred.dtype)
+                image_gs = ig_base[i].astype(cond_p.dtype)
 
             merged = (
                 uncond2_p
@@ -381,7 +412,7 @@ class DistilledDenoiser(Denoiser):
         guidance_vec = jnp.full((img.shape[0],), guidance, dtype=img.dtype)
         for k in ("masks", "masked_ref", "text_osci", "image_osci",
                   "scale_temporal_osci", "patch_size", "guidance_img",
-                  "sigma_min"):
+                  "sigma_min", "cfg_batched"):
             model_kwargs.pop(k, None)
 
         def step(x, inp):

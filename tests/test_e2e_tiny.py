@@ -77,6 +77,27 @@ def test_t2v_tiny(tiny_models):
     assert np.isfinite(x).all()
 
 
+def test_t2v_sequential_cfg_matches_batched(tiny_models):
+    """cfg_batched=False (three sequential B=1 passes per step — the
+    768px single-chip memory mode) must produce the same video as the
+    3-way-batched CFG up to XLA reassociation."""
+    model, ae, t5, clip = tiny_models
+    api_fn = prepare_api(model, ae, t5, clip)
+    kw = dict(
+        height=32, width=32, num_frames=5, num_steps=2,
+        guidance=4.0, guidance_img=1.05, seed=42, is_causal_vae=True,
+    )
+    batched = np.asarray(
+        api_fn(sanitize_sampling_option(SamplingOption(**kw)),
+               text=["a cat"], channel=16)
+    )
+    seq = np.asarray(
+        api_fn(sanitize_sampling_option(SamplingOption(**kw, cfg_batched=False)),
+               text=["a cat"], channel=16)
+    )
+    np.testing.assert_allclose(seq, batched, rtol=2e-4, atol=2e-4)
+
+
 def test_t2v_deterministic(tiny_models):
     model, ae, t5, clip = tiny_models
     api_fn = prepare_api(model, ae, t5, clip)

@@ -136,6 +136,26 @@ def test_w8a8_pallas_dense_mode_large_rows():
     assert rel < 0.03, rel
 
 
+def test_w8a8_pallas_dense_col_slice():
+    """col_slice through the actual Pallas branch (>=1024 rows): output is
+    the matching column range, shape uses the sliced width (regression:
+    reshape used full self.features)."""
+    from opensora_tpu.ops.quant import QuantDense, quantize_kernel
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(512, 256)).astype(np.float32) * 0.2
+    x = jnp.asarray(rng.normal(size=(1, 1024, 512)).astype(np.float32))
+    q, s = quantize_kernel(w)
+    params = {"params": {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(s)}}
+    d = QuantDense(256, use_bias=False, dtype=jnp.float32, mode="w8a8_pallas")
+    full = d.apply(params, x)
+    part = d.apply(params, x, col_slice=(128, 256))
+    assert part.shape == (1, 1024, 128)
+    np.testing.assert_allclose(
+        np.asarray(part), np.asarray(full[..., 128:]), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_w8a8_output_quality_bound_realistic_width():
     """Serving-promotion bound (round-2): at wider geometry with flax-init
     weight statistics and N(0,1) latents, the full-model W8A8 output must
