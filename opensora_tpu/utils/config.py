@@ -204,8 +204,32 @@ def parse_overrides(cfg: Config, argv: List[str]) -> Config:
     return cfg
 
 
+def apply_jax_platform_env() -> None:
+    """Honor the JAX_PLATFORMS env var even under out-of-tree PJRT plugins.
+
+    Some plugins (e.g. the tunneled TPU backend in this environment)
+    register themselves programmatically and IGNORE ``JAX_PLATFORMS`` —
+    a subprocess exported with ``JAX_PLATFORMS=cpu`` would still try to
+    grab the TPU and, if the tunnel is down, hang for minutes in backend
+    init. Re-asserting the env var through ``jax.config`` restores the
+    documented behavior. No-op once a backend is already initialized."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass  # backend already up, or jax absent — keep CLI startup robust
+
+
 def parse_configs(argv: List[str] | None = None) -> Config:
-    """Load a config file (first positional arg) and apply CLI overrides."""
+    """Load a config file (first positional arg) and apply CLI overrides.
+
+    Also re-asserts JAX_PLATFORMS (see apply_jax_platform_env) so every
+    CLI built on this config system can be forced onto CPU for tests."""
+    apply_jax_platform_env()
     if argv is None:
         argv = sys.argv[1:]
     if not argv:

@@ -25,6 +25,15 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# This is a host-side torch-oracle tool; the only jax it touches is the
+# trivial build_img_ids inside mmdit_fixture_inputs. Force the CPU backend
+# so the capture never blocks on (or competes with) TPU availability —
+# under out-of-tree plugins the env var alone is ignored, hence both.
+os.environ["JAX_PLATFORMS"] = "cpu"
+from opensora_tpu.utils.config import apply_jax_platform_env  # noqa: E402
+
+apply_jax_platform_env()
+
 
 def main():
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])

@@ -190,6 +190,9 @@ def verify_vae(path: str, ref_npz: str | None) -> dict:
 
 
 def main():
+    from opensora_tpu.utils.config import apply_jax_platform_env
+
+    apply_jax_platform_env()  # JAX_PLATFORMS must actually win over plugins
     p = argparse.ArgumentParser()
     p.add_argument("kind", choices=["mmdit", "vae"])
     p.add_argument("checkpoint")

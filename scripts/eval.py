@@ -29,6 +29,9 @@ def load_video(path):
 def main():
     import argparse
 
+    from opensora_tpu.utils.config import apply_jax_platform_env
+
+    apply_jax_platform_env()  # JAX_PLATFORMS=cpu must actually force CPU
     p = argparse.ArgumentParser(
         description="VAE reconstruction + VBench-style metrics over a sample dir"
     )
