@@ -11,9 +11,15 @@ reference only):
   q . k_mean^T is constant along each query row, and softmax is invariant
   to per-row constants, so dropping it is EXACT — and it removes the
   outlier channel mass that otherwise dominates int8 K scales.
-- **QK^T in int8**: per-token scales (sq for Q rows, sk for K rows);
-  logits dequantize as s32 * sq_i * sk_j * sm_scale before the (f32)
-  online softmax — identical m/l bookkeeping to ops/flash_attention.py.
+- **QK^T in int8**: Q gets per-token scales; K gets ONE scale per
+  block_k tile (SageAttention's per-block K). A per-tile K scale is
+  constant across a score tile's columns, so the whole dequant collapses
+  into one per-row vector ``sq_i * sk_tile * sm_scale * log2(e)`` — ONE
+  VPU multiply per logit instead of two, and the softmax runs directly
+  in the exp2 domain (same m/l-in-log2 bookkeeping as the bf16 kernel in
+  ops/flash_attention.py). Mean-centered N(0,1)-like K rows have nearly
+  equal norms, so the per-tile coarsening costs little accuracy
+  (bounds re-measured in tests/test_int8_flash.py).
 - **P.V in int8**: the probability tile is quantized per-row against its
   own max (p_scale = rowmax(p) <= 1, so the int8 grid always spans the
   tile's dynamic range — blocks far from the running max are not crushed
@@ -44,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from opensora_tpu.ops.flash_attention import (
+    LOG2E,
     NEG_INF,
     _mask_scores,
     _zero_tail_rows,
@@ -69,8 +76,8 @@ def _int8_fwd_kernel(
     q8 = q_ref[0, 0]          # (bq, d) int8
     k8 = k_ref[0, 0]          # (bk, d) int8
     v8 = v_ref[0, 0]          # (bk, d) int8 (bf16 in qk8 mode)
-    sq = sq_ref[0, 0]         # (bq, 1) f32
-    sk = sk_ref[0, 0]         # (1, bk) f32
+    sq = sq_ref[0, 0]         # (bq, 1) f32 — pre-multiplied by sm_scale*log2e
+    sk = sk_ref[0, 0, 0, 0]   # () f32 — ONE scale for this whole K tile
     sv = sv_ref[0, 0]         # (1, d)  f32
     if not pv_int8 and kv_len % block_k != 0:
         # bf16 tail garbage can be NaN (0 * NaN poisons the PV matmul);
@@ -80,10 +87,13 @@ def _int8_fwd_kernel(
     s32 = lax.dot_general(
         q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
-    # int8 garbage in kv tail blocks cannot NaN (integer arithmetic), and a
-    # NaN/inf tail in the f32 sk vector is REPLACED (not propagated) by the
-    # select in _mask_scores below — so no tail zeroing of data is needed.
-    s = s32.astype(jnp.float32) * (sq * sm_scale) * sk
+    # Per-tile K scale: the full dequant (sq_i * sk_tile * sm_scale * log2e)
+    # collapses to one per-ROW vector, so dequantizing costs exactly one
+    # VPU multiply per logit and lands directly in the exp2 domain. (int8
+    # garbage in kv tail blocks cannot NaN — integer arithmetic — and is
+    # replaced, not propagated, by the select in _mask_scores.)
+    scale_row = sq * sk                          # (bq, 1)
+    s = s32.astype(jnp.float32) * scale_row      # log2-domain logits
     s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, None)
 
     m_prev = m_scr[:, :1]
@@ -91,8 +101,8 @@ def _int8_fwd_kernel(
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
-    p = jnp.exp(s - m_safe)                      # (bq, bk) in [0, 1]
-    correction = jnp.exp(m_prev - m_safe)
+    p = jnp.exp2(s - m_safe)                     # (bq, bk) in [0, 1]
+    correction = jnp.exp2(m_prev - m_safe)
     # exact f32 denominator (quantized p only touches the numerator)
     l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
 
@@ -171,7 +181,22 @@ def int8_flash_attention(
     # softmax rows sum to one; shrinks the per-channel V scales.
     k_mean = jnp.mean(k.astype(jnp.float32), axis=2, keepdims=True)
     q8, sq = _quantize_rows(q)
-    k8, sk = _quantize_rows(k.astype(jnp.float32) - k_mean)
+    # fold sm_scale and the exp2-domain conversion into the Q scales once
+    sq = sq * (sm_scale * LOG2E)
+    # K: ONE scale per block_k tile (see module docstring). Zero-pad to a
+    # whole number of tiles — zeros never raise the tile max.
+    nk = pl.cdiv(kv_len, block_k)
+    kf = k.astype(jnp.float32) - k_mean
+    kp = jnp.pad(kf, ((0, 0), (0, 0), (0, nk * block_k - kv_len), (0, 0)))
+    tiles = kp.reshape(batch, heads, nk, block_k * dim)
+    sk_tile = jnp.maximum(
+        jnp.max(jnp.abs(tiles), axis=-1, keepdims=True), 1e-8
+    ) / 127.0                                    # (B, H, nk, 1)
+    k8 = (
+        jnp.clip(jnp.round(tiles / sk_tile), -127, 127)
+        .astype(jnp.int8)
+        .reshape(batch, heads, nk * block_k, dim)[:, :, :kv_len]
+    )
     if pv_int8:
         v_mean = jnp.mean(v.astype(jnp.float32), axis=2, keepdims=True)
         v_in, sv = _quantize_rows(v.astype(jnp.float32) - v_mean, axis=2)
@@ -179,7 +204,6 @@ def int8_flash_attention(
         v_mean = None
         v_in = v.astype(q.dtype)
         sv = jnp.ones((batch, heads, 1, dim), jnp.float32)
-    sk_t = jnp.swapaxes(sk, 2, 3)                # (B, H, 1, L)
 
     grid = (batch, heads, pl.cdiv(q_len, block_q), pl.cdiv(kv_len, block_k))
     out = pl.pallas_call(
@@ -198,7 +222,7 @@ def int8_flash_attention(
             pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_k), lambda b, h, qi, ki: (b, h, 0, ki)),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h, qi, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, 1, dim), lambda b, h, qi, ki: (b, h, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -214,7 +238,7 @@ def int8_flash_attention(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q8, k8, v_in, sq, sk_t, sv)
+    )(q8, k8, v_in, sq, sk_tile, sv)
     if v_mean is not None:
         out = (out.astype(jnp.float32) + v_mean).astype(q.dtype)
     return out

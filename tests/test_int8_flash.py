@@ -7,6 +7,12 @@ shrink): QK int8 ~0.9%, V int8 ~0.7%, P int8 ~1.7% — P quantization
 dominates, which is why the "qk8" mode (bf16 P.V) exists. Bounds here are
 calibrated at ~1.4x the measured interpret-mode error. Interpret mode
 exercises the exact kernel program.
+
+Round-3 re-measurement after switching K to PER-TILE scales + exp2-domain
+bookkeeping (see ops/int8_flash.py docstring): full 1.89%, qk8 1.12% at
+the flat-random worst case (within ~0.1pp of the per-token-K numbers), so
+the original bounds hold unchanged — mean-centered K rows have nearly
+equal norms and the tile max barely exceeds the per-token max.
 """
 
 import numpy as np
