@@ -1,7 +1,7 @@
 """VBench-style evaluation components.
 
 The reference tracks VBench externally (README.md:290-302); its eval folder
-is not in the tree (SURVEY.md §4), so this harness is written fresh. Eight
+is not in the tree (SURVEY.md §4), so this harness is written fresh. Nine
 dimensions are implemented (VBench name → recipe here; deviations from the
 official detectors are documented inline):
 
@@ -14,8 +14,11 @@ official detectors are documented inline):
   subject — documented deviation).
 - **background_consistency**: VBench's formula on CLIP embeddings of FULL
   frames (this one IS the official recipe — VBench uses CLIP here).
-- **temporal_consistency** ('temporal flickering'): mean cosine similarity
-  of adjacent frames' luma.
+- **temporal_consistency**: mean cosine similarity of adjacent frames'
+  luma (a contrast-invariant smoothness diagnostic).
+- **temporal_flickering**: VBench's OFFICIAL formula — ``1 - MAE/255``
+  over adjacent frame pairs on uint8-range frames (VBench applies it to
+  static-camera videos; here it is reported for all samples).
 - **motion_smoothness**: second-order temporal smoothness — VBench scores
   reconstruction error of an AMT frame interpolator; the proxy here scores
   how well each frame is predicted by linear interpolation of its
@@ -63,6 +66,17 @@ def motion_magnitude(video: np.ndarray) -> float:
     if v.shape[1] < 2:
         return 0.0
     return float(np.abs(v[:, 1:] - v[:, :-1]).mean())
+
+
+def temporal_flickering(video: np.ndarray) -> float:
+    """VBench's official temporal-flickering score: ``1 - MAE/255`` with
+    MAE the mean absolute difference of adjacent frames in uint8 units
+    (the [-1, 1] input maps to a 0-255 range, so MAE scales by 255/2)."""
+    v = np.asarray(video, np.float64)
+    if v.shape[1] < 2:
+        return 1.0
+    mae = np.abs(v[:, 1:] - v[:, :-1]).mean() * (255.0 / 2.0)
+    return float(1.0 - mae / 255.0)
 
 
 def clip_score(video: np.ndarray, text: str, scorer) -> float:
@@ -191,6 +205,9 @@ def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_scorer=None
             np.mean([temporal_consistency(v) for v in videos])
         ),
         "motion_magnitude": float(np.mean([motion_magnitude(v) for v in videos])),
+        "temporal_flickering": float(
+            np.mean([temporal_flickering(v) for v in videos])
+        ),
         "motion_smoothness": float(
             np.mean([motion_smoothness(v) for v in videos])
         ),

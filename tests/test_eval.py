@@ -18,6 +18,7 @@ from opensora_tpu.eval.vbench import (
     imaging_quality,
     motion_smoothness,
     temporal_consistency,
+    temporal_flickering,
 )
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
@@ -158,3 +159,15 @@ def test_eval_cli_end_to_end(tmp_path):
 
 def test_temporal_consistency_static_is_one():
     assert temporal_consistency(_moving_video(dx=0)) > 0.999
+
+
+def test_temporal_flickering_official_formula():
+    """Static video scores exactly 1; motion strictly lowers it; the score
+    equals 1 - MAE_uint8/255 by construction."""
+    assert temporal_flickering(_moving_video(dx=0)) == 1.0
+    moving = _moving_video(dx=3)
+    score = temporal_flickering(moving)
+    assert score < 1.0
+    mae = np.abs(moving[:, 1:].astype(np.float64)
+                 - moving[:, :-1].astype(np.float64)).mean() * 127.5
+    np.testing.assert_allclose(score, 1.0 - mae / 255.0, rtol=1e-12)
