@@ -365,8 +365,11 @@ def bench_train(log):
     n_tokens = L + txt_len
 
     def block_flops(dd, ds):
+        # per-token MACs x (2 flops/MAC) x n_tokens. Each token passes
+        # through exactly ONE stream's qkv/proj/mlp in a double block
+        # (n_tokens already sums img+txt), so no cross-stream factor.
         d, mlp = 3072, 12288
-        lin_double = 2 * (3 * d * d + d * d + 2 * d * mlp)
+        lin_double = 3 * d * d + d * d + 2 * d * mlp
         lin_single = (3 * d * d + d * mlp) + (d + mlp) * d
         attn = 2 * n_tokens * d
         return 2 * n_tokens * ((lin_double + attn) * dd + (lin_single + attn) * ds)

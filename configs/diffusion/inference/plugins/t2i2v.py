@@ -5,6 +5,11 @@ use_t2i2v = True
 img_flux = dict(
     type="flux",
     from_pretrained=None,  # flux1-dev.safetensors
+    # flux1-dev is ORIGINAL-Flux-trained: interleaved RoPE pairing
+    # (reference model.py:59 use_liger_rope defaults False and the t2i2v
+    # plugin does not override it — unlike the video model, 256px.py:41).
+    # The converter must permute q/k channels into our split layout.
+    ckpt_rope_convention="interleaved",
     guidance_embed=True,
     in_channels=64,
     vec_in_dim=768,

@@ -128,29 +128,38 @@ def _block_flow_magnitude(video: np.ndarray, grid: int = 8,
     if t < 2 or h <= 2 * search or w <= 2 * search:
         return 0.0
     ph, pw = max(h // grid, 1), max(w // grid, 1)
-    mags = []
-    for f in range(t - 1):
-        a, b = y[f], y[f + 1]
-        disp = []
-        for gy in range(0, h - ph + 1, ph):
-            for gx in range(0, w - pw + 1, pw):
-                if gy + ph + search > h or gx + pw + search > w \
-                        or gy < search or gx < search:
-                    continue
-                patch = a[gy:gy + ph, gx:gx + pw]
-                if float(patch.var()) < 1e-4:
-                    continue  # textureless block: matching is meaningless
-                # lexicographic (error, displacement): flat-tied errors must
-                # resolve to zero motion, not the first candidate scanned
-                best = (np.inf, 0.0)
-                for dy in range(-search, search + 1):
-                    for dx in range(-search, search + 1):
-                        cand = b[gy + dy:gy + dy + ph, gx + dx:gx + dx + pw]
-                        err = float(np.mean((patch - cand) ** 2))
-                        best = min(best, (err, float(np.hypot(dy, dx))))
-                disp.append(best[1])
-        if disp:
-            mags.append(float(np.median(disp)))
+    # vectorized over (frame pair, grid cell) with a small python loop over
+    # the 49 candidate shifts only — the per-pixel python loops this
+    # replaces dominated the whole eval harness at 129f (round-3 review)
+    gys = np.array([gy for gy in range(0, h - ph + 1, ph)
+                    if gy >= search and gy + ph + search <= h])
+    gxs = np.array([gx for gx in range(0, w - pw + 1, pw)
+                    if gx >= search and gx + pw + search <= w])
+    if gys.size == 0 or gxs.size == 0:
+        return 0.0
+    rows = gys[:, None] + np.arange(ph)[None, :]          # (Gy, ph)
+    cols = gxs[:, None] + np.arange(pw)[None, :]          # (Gx, pw)
+
+    def patches(frames, dy=0, dx=0):
+        # (F, Gy, Gx, ph, pw) patch tensor at a given shift
+        p = frames[:, rows + dy]                          # (F, Gy, ph, w)
+        return p[:, :, :, cols + dx].transpose(0, 1, 3, 2, 4)
+
+    a = patches(y[:-1])                                   # (t-1, Gy, Gx, ph, pw)
+    textured = a.var(axis=(-2, -1)) >= 1e-4               # (t-1, Gy, Gx)
+    best_err = np.full(textured.shape, np.inf)
+    best_disp = np.zeros(textured.shape)
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            err = np.mean((a - patches(y[1:], dy, dx)) ** 2, axis=(-2, -1))
+            d = float(np.hypot(dy, dx))
+            # lexicographic (error, displacement): flat-tied errors must
+            # resolve to the smallest motion, not the first candidate
+            take = (err < best_err) | ((err == best_err) & (d < best_disp))
+            best_err = np.where(take, err, best_err)
+            best_disp = np.where(take, d, best_disp)
+    mags = [float(np.median(best_disp[f][textured[f]]))
+            for f in range(t - 1) if textured[f].any()]
     return float(np.mean(mags)) if mags else 0.0
 
 

@@ -293,12 +293,17 @@ class DoubleStreamBlock(nn.Module):
             self.txt_mod(vec)
         )
 
-        split = self.seq_chunks > 1
+        # per-stream gating: column-slicing a fused qkv re-reads the kernel
+        # (and re-quantizes the activation in w8a8) 3x — only worth it when
+        # the stream is long enough that the fused output buffer matters.
+        # The 512-token txt stream's ~9 MiB qkv never qualifies.
+        split_img = self.seq_chunks > 1 and img.shape[1] >= _MIN_CHUNK_TOKENS
+        split_txt = self.seq_chunks > 1 and txt.shape[1] >= _MIN_CHUNK_TOKENS
         img_mod = modulate(layer_norm(img), img_shift1, img_scale1)
         txt_mod = modulate(layer_norm(txt), txt_shift1, txt_scale1)
 
-        img_q, img_k, img_v = self.img_attn.qkv_heads(img_mod, split_compute=split)
-        txt_q, txt_k, txt_v = self.txt_attn.qkv_heads(txt_mod, split_compute=split)
+        img_q, img_k, img_v = self.img_attn.qkv_heads(img_mod, split_compute=split_img)
+        txt_q, txt_k, txt_v = self.txt_attn.qkv_heads(txt_mod, split_compute=split_txt)
 
         # joint attention over [txt, img]
         q = jnp.concatenate([txt_q, img_q], axis=1)
@@ -313,9 +318,10 @@ class DoubleStreamBlock(nn.Module):
 
         img = img + img_gate1 * self.img_attn.proj(img_attn)
         txt = txt + txt_gate1 * self.txt_attn.proj(txt_attn)
-        if split:
+        if self.seq_chunks > 1:
             # one MLP chunk (plus its gelu buffer) live at a time; the
             # modulate/layer_norm recompute per chunk is VPU noise
+            # (_seq_chunked itself falls back for streams under the floor)
             img = img + img_gate2 * _seq_chunked(
                 self,
                 lambda m, x_c: m.img_mlp(modulate(layer_norm(x_c), img_shift2, img_scale2)),
@@ -371,7 +377,7 @@ class SingleStreamBlock(nn.Module):
     def __call__(self, x, vec, pe):
         (shift, scale, gate), _ = self.modulation(vec)
         h = self.hidden_size
-        chunked = self.seq_chunks > 1
+        chunked = self.seq_chunks > 1 and x.shape[1] >= _MIN_CHUNK_TOKENS
         x_mod = modulate(layer_norm(x), shift, scale)
         mlp = None
         if chunked:

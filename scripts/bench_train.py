@@ -15,8 +15,10 @@ def block_flops(hidden: int, mlp_ratio: float, n_tokens: int, depth_double: int,
     """Per-forward FLOPs of the block stacks for batch 1 (x2 for MACs)."""
     d = hidden
     mlp = int(hidden * mlp_ratio)
-    # double block: img+txt each (qkv 3d^2 + proj d^2 + mlp 2*d*mlp) + joint attn
-    lin_double = 2 * (3 * d * d + d * d + 2 * d * mlp)
+    # double block: each token passes through exactly ONE stream's
+    # qkv/proj/mlp (n_tokens already sums img+txt tokens, so a cross-stream
+    # factor 2 here would double-count — fixed round 3)
+    lin_double = 3 * d * d + d * d + 2 * d * mlp
     # single block: linear1 (3d^2+d*mlp) + linear2 ((d+mlp)*d)
     lin_single = (3 * d * d + d * mlp) + (d + mlp) * d
     attn = 2 * n_tokens * d  # per token: qk^T + pv over full seq

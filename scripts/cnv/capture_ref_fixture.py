@@ -93,9 +93,14 @@ def main():
     from verify_pretrained import mmdit_fixture_inputs  # same directory
 
     inputs = mmdit_fixture_inputs(in_ch, ctx, vec, cond, guid)
+    # keep None placeholders in position: dropping them would shift
+    # guidance into the cond slot for guidance_embed-only checkpoints
+    # (flux1-dev: cond=False, guid=True)
     with torch.no_grad():
-        expected = net(*[torch.from_numpy(np.asarray(a, np.float32))
-                         for a in inputs if a is not None]).numpy()
+        expected = net(*[
+            None if a is None else torch.from_numpy(np.asarray(a, np.float32))
+            for a in inputs
+        ]).numpy()
     np.savez(args.out, expected=expected)
     print(f"wrote {args.out}: expected {expected.shape} "
           f"(depth {depth}+{depth_s}, hidden {hidden}, "

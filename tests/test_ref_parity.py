@@ -221,8 +221,10 @@ def test_published_wiring_flagship_geometry(tmp_path):
         in_ch=64, ctx=4096, vec=768, cond=True, guid=False,
     )
     with torch.no_grad():
-        ref_out = net(*[torch.from_numpy(np.asarray(a, np.float32))
-                        for a in ref_in if a is not None]).numpy()
+        ref_out = net(*[
+            None if a is None else torch.from_numpy(np.asarray(a, np.float32))
+            for a in ref_in
+        ]).numpy()
     np.savez(npz, expected=ref_out)
 
     report = vp.verify_mmdit(ckpt, npz)
