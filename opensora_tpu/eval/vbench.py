@@ -32,6 +32,10 @@ official detectors are documented inline):
   penalty — documented deviation).
 - **motion_magnitude**: raw mean |frame difference| (diagnostic, not a
   VBench dimension).
+- **aesthetic_quality**: VBench's OFFICIAL recipe — the LAION aesthetic
+  predictor (MLP head, eval/aesthetic.py) on L2-normalized CLIP ViT-L/14
+  frame embeddings, score/10 clipped to [0, 1], averaged over frames;
+  gated on the predictor weights being on disk.
 """
 
 from __future__ import annotations
@@ -208,7 +212,17 @@ def imaging_quality(video: np.ndarray) -> float:
     return float(sharpness * (1.0 - min(4.0 * clipped, 1.0)))
 
 
-def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_scorer=None) -> Dict[str, float]:
+def aesthetic_quality(video: np.ndarray, scorer, head,
+                      max_frames: int = 8) -> float:
+    """VBench 'aesthetic quality': mean over sampled frames of the LAION
+    aesthetic predictor's score on the frame's L2-normalized CLIP embedding,
+    divided by 10 and clipped to [0, 1] (the official normalization)."""
+    emb = scorer.embed_frames(video, max_frames=max_frames)
+    return float(np.clip(head(emb) / 10.0, 0.0, 1.0).mean())
+
+
+def evaluate_videos(videos: List[np.ndarray], texts: List[str],
+                    clip_scorer=None, aesthetic_head=None) -> Dict[str, float]:
     out = {
         "temporal_consistency": float(
             np.mean([temporal_consistency(v) for v in videos])
@@ -235,4 +249,9 @@ def evaluate_videos(videos: List[np.ndarray], texts: List[str], clip_scorer=None
         out["background_consistency"] = float(
             np.mean([background_consistency(v, clip_scorer) for v in videos])
         )
+        if aesthetic_head is not None:
+            out["aesthetic_quality"] = float(np.mean(
+                [aesthetic_quality(v, clip_scorer, aesthetic_head)
+                 for v in videos]
+            ))
     return out

@@ -41,6 +41,11 @@ def main():
         "--clip", default="./ckpts/clip-vit-large-patch14",
         help="local HF CLIPModel checkpoint for clip_score (skipped if absent)",
     )
+    p.add_argument(
+        "--aesthetic", default="./ckpts/aesthetic_predictor.pth",
+        help="LAION aesthetic-predictor state dict for aesthetic_quality "
+             "(skipped if absent; needs --clip too)",
+    )
     args = p.parse_args()
     sample_dir = args.samples
     if not os.path.isdir(sample_dir):
@@ -62,10 +67,13 @@ def main():
         print(json.dumps({"error": f"no samples in {sample_dir}"}))
         return
 
+    from opensora_tpu.eval.aesthetic import try_load_head
     from opensora_tpu.eval.clip_scorer import try_load_scorer
 
     scorer = try_load_scorer(args.clip)
-    report = evaluate_videos(videos, texts, clip_scorer=scorer)
+    head = try_load_head(args.aesthetic)
+    report = evaluate_videos(videos, texts, clip_scorer=scorer,
+                             aesthetic_head=head)
     report["num_samples"] = len(videos)
 
     # paired orig/recn files → reconstruction metrics (vae inference output)

@@ -233,6 +233,80 @@ def suite_int8_flash():
         print(f"on-chip rel-L2 ({'full' if pv_int8 else 'qk8'}): {rel:.4f}", flush=True)
 
 
+def suite_flash768():
+    """bf16 vs int8 flash attention at the 768px/129f serving shape
+    (B=1, 76544 tokens): attention is ~72 TFLOP per call here (quadratic),
+    the dominant cost of the 768px step — the shape where int8 attention's
+    kernel win actually moves the e2e number."""
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from opensora_tpu.ops.flash_attention import flash_attention
+    from opensora_tpu.ops.int8_flash import int8_flash_attention
+
+    B, H, L, D = 1, 24, 76544, 128  # 33x48x48 img + 512 txt tokens
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, L, D), jnp.bfloat16) for kk in ks)
+    fl = 4.0 * B * H * L * L * D
+
+    dt, tf = _bench(jax, lambda q, k, v: flash_attention(q, k, v), q, k, v,
+                    flops=fl, n2=6)
+    print(f"bf16 flash 768px: {dt * 1e3:.1f} ms {tf:.1f} TFLOP/s", flush=True)
+    for pv_int8, tag in ((False, "qk8"), (True, "full")):
+        dt, tf = _bench(
+            jax,
+            lambda q, k, v, p=pv_int8: int8_flash_attention(q, k, v, pv_int8=p),
+            q, k, v, flops=fl, n2=6,
+        )
+        print(f"int8 {tag} 768px: {dt * 1e3:.1f} ms {tf:.1f} TFLOP/s-equiv",
+              flush=True)
+
+
+def suite_vaebatch():
+    """TiledVAERunner spatial_batch sweep at the 768px/129f latent: does
+    stacking same-shape spatial tiles along batch beat per-tile dispatch?
+    (NOTES_r3: 3x(9+3+3+1) dispatches -> 3x(3+1+1+1) at spatial_batch=3.)"""
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from opensora_tpu.models.hunyuan_vae.model import (
+        AutoEncoder3DConfig,
+        AutoencoderKLCausal3D,
+    )
+    from opensora_tpu.models.hunyuan_vae.tiled import TiledVAERunner
+
+    cfg = AutoEncoder3DConfig(use_temporal_tiling=True, use_spatial_tiling=True)
+    vae = AutoencoderKLCausal3D(cfg)
+    shapes = jax.eval_shape(
+        lambda: vae.init(
+            {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 3, 5, 64, 64), jnp.bfloat16),
+        )
+    )
+    variables = jax.tree.map(
+        lambda s: (jax.random.normal(jax.random.PRNGKey(1), s.shape, jnp.float32)
+                   * 0.02).astype(s.dtype)
+        if jnp.issubdtype(s.dtype, jnp.floating) else jnp.zeros(s.shape, s.dtype),
+        shapes,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(9), (1, 16, 33, 96, 96), jnp.bfloat16)
+
+    def timed(runner):
+        fetch = lambda o: jax.device_get(jnp.sum(o.astype(jnp.float32)))
+        fetch(runner.decode(z))  # warm + compile
+        t0 = time.perf_counter()
+        fetch(runner.decode(z))
+        t1 = time.perf_counter()
+        fetch(runner.decode(z))
+        fetch(runner.decode(z))
+        return ((time.perf_counter() - t1) - (t1 - t0)) / 1.0
+
+    for sb in (1, 2, 3):
+        runner = TiledVAERunner(vae, variables, spatial_batch=sb)
+        print(f"768px decode spatial_batch={sb}: {timed(runner):.2f} s",
+              flush=True)
+
+
 if __name__ == "__main__":
     {
         "flash": suite_flash,
@@ -240,4 +314,6 @@ if __name__ == "__main__":
         "step": suite_step,
         "w8a8b": suite_w8a8_breakdown,
         "int8flash": suite_int8_flash,
+        "flash768": suite_flash768,
+        "vaebatch": suite_vaebatch,
     }[sys.argv[1]]()

@@ -111,6 +111,43 @@ def _tiny_clip_ckpt(dirname):
     return dirname
 
 
+def _tiny_aesthetic_ckpt(path, in_dim=16, seed=11):
+    """A LAION-layout MLP state dict (nn.Sequential indices with dropouts
+    at 1/3/5, like the published sac+logos+ava1 checkpoint) at tiny width."""
+    torch = pytest.importorskip("torch")
+
+    torch.manual_seed(seed)
+    dims = [(in_dim, 24), (24, 8), (8, 4), (4, 2), (2, 1)]
+    sd, seq_idx = {}, 0
+    for i, (d_in, d_out) in enumerate(dims):
+        sd[f"layers.{seq_idx}.weight"] = torch.randn(d_out, d_in) * 0.2
+        sd[f"layers.{seq_idx}.bias"] = torch.randn(d_out) * 0.1
+        seq_idx += 2 if i < 3 else 1  # dropouts occupy indices 1, 3, 5
+    torch.save(sd, path)
+    return path
+
+
+def test_aesthetic_head_loads_and_scores(tmp_path):
+    from opensora_tpu.eval.aesthetic import AestheticHead
+
+    path = _tiny_aesthetic_ckpt(str(tmp_path / "aes.pth"))
+    head = AestheticHead.from_pretrained(path)
+    assert head.input_dim == 16
+    emb = np.random.default_rng(0).standard_normal((5, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    scores = head(emb)
+    assert scores.shape == (5,) and np.all(np.isfinite(scores))
+    # numpy forward == the same affine stack in torch
+    torch = pytest.importorskip("torch")
+    x = torch.from_numpy(emb)
+    sd = torch.load(path, weights_only=True)
+    for i in sorted({int(k.split(".")[1]) for k in sd if k.endswith(".weight")}):
+        x = x @ sd[f"layers.{i}.weight"].T + sd[f"layers.{i}.bias"]
+    np.testing.assert_allclose(scores, x[:, 0].numpy(), rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        head(np.zeros((2, 8), np.float32))  # wrong embedding width
+
+
 def test_eval_cli_end_to_end(tmp_path):
     """scripts/eval.py over a real sample dir (mp4 via cv2 + a png + prompt
     txts + an orig/recn pair) with a tiny CLIP checkpoint: the CLI itself
@@ -135,16 +172,19 @@ def test_eval_cli_end_to_end(tmp_path):
     )
 
     clip_dir = _tiny_clip_ckpt(str(tmp_path / "clip"))
+    aes_path = _tiny_aesthetic_ckpt(str(tmp_path / "aes.pth"))
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "eval.py"),
-         "--samples", str(samples), "--clip", clip_dir],
+         "--samples", str(samples), "--clip", clip_dir,
+         "--aesthetic", aes_path],
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     report = json.loads(proc.stdout)
 
+    assert 0.0 <= report["aesthetic_quality"] <= 1.0
     dims = {"clip_score", "subject_consistency", "background_consistency",
             "temporal_consistency", "motion_smoothness", "dynamic_degree",
             "imaging_quality", "motion_magnitude"}
