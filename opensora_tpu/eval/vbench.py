@@ -1,7 +1,7 @@
 """VBench-style evaluation components.
 
 The reference tracks VBench externally (README.md:290-302); its eval folder
-is not in the tree (SURVEY.md §4), so this harness is written fresh. Nine
+is not in the tree (SURVEY.md §4), so this harness is written fresh. Eleven
 dimensions are implemented (VBench name → recipe here; deviations from the
 official detectors are documented inline):
 
@@ -36,11 +36,22 @@ official detectors are documented inline):
   predictor (MLP head, eval/aesthetic.py) on L2-normalized CLIP ViT-L/14
   frame embeddings, score/10 clipped to [0, 1], averaged over frames;
   gated on the predictor weights being on disk.
-"""
+- **appearance_style**: VBench's OFFICIAL recipe — mean CLIP cosine
+  between each sampled frame and the prompt's style phrase (VBench's
+  style prompt suite embeds phrases like "..., in the style of Van Gogh";
+  the phrase is extracted from the prompt text here). Reported only over
+  samples whose prompt carries a style phrase, as in VBench.
+
+The remaining VBench dimensions (object_class, multiple_objects, color,
+spatial_relationship, scene, human_action, overall_consistency) require
+detection/captioning backbones (GRiT, Tag2Text, UMT, ViCLIP) that are not
+in this zero-egress image; clip_score is the documented stand-in for
+overall_consistency."""
 
 from __future__ import annotations
 
-from typing import Dict, List
+import re
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -221,6 +232,36 @@ def aesthetic_quality(video: np.ndarray, scorer, head,
     return float(np.clip(head(emb) / 10.0, 0.0, 1.0).mean())
 
 
+_STYLE_RE = re.compile(
+    r"\bin the style of ([^,.;]+)|\b([A-Za-z][A-Za-z0-9 .'&-]*?) style\b",
+    re.IGNORECASE,
+)
+
+
+def extract_style_phrase(text: str) -> Optional[str]:
+    """Pull the style phrase out of a VBench-style prompt.
+
+    Matches both suite conventions: ``..., in the style of Van Gogh`` and
+    ``..., oil painting style``. Returns the normalized phrase
+    (``"in the style of ..." / "... style"``) or None."""
+    m = _STYLE_RE.search(text or "")
+    if not m:
+        return None
+    if m.group(1):
+        return f"in the style of {m.group(1).strip()}"
+    return f"{m.group(2).strip()} style"
+
+
+def appearance_style(video: np.ndarray, style_text: str, scorer,
+                     max_frames: int = 8) -> float:
+    """VBench 'appearance style': mean CLIP cosine between sampled frame
+    embeddings and the style phrase's text embedding (the official recipe
+    — this dimension uses CLIP directly, no detector)."""
+    emb = scorer.embed_frames(video, max_frames=max_frames)
+    t = scorer.embed_text(style_text)
+    return float((emb @ t).mean())
+
+
 def evaluate_videos(videos: List[np.ndarray], texts: List[str],
                     clip_scorer=None, aesthetic_head=None) -> Dict[str, float]:
     out = {
@@ -253,5 +294,13 @@ def evaluate_videos(videos: List[np.ndarray], texts: List[str],
             out["aesthetic_quality"] = float(np.mean(
                 [aesthetic_quality(v, clip_scorer, aesthetic_head)
                  for v in videos]
+            ))
+        styled = [
+            (v, s) for v, t in zip(videos, texts)
+            if (s := extract_style_phrase(t)) is not None
+        ]
+        if styled:
+            out["appearance_style"] = float(np.mean(
+                [appearance_style(v, s, clip_scorer) for v, s in styled]
             ))
     return out

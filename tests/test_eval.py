@@ -161,7 +161,9 @@ def test_eval_cli_end_to_end(tmp_path):
             _moving_video(dx=dx), str(samples / f"sample_{i:04d}"), fps=8
         )
         assert path.endswith(".mp4") and os.path.exists(path)
-        (samples / f"sample_{i:04d}.txt").write_text("a moving square")
+        prompt = ("a moving square, in the style of Van Gogh" if i == 1
+                  else "a moving square")
+        (samples / f"sample_{i:04d}.txt").write_text(prompt)
     # one still image goes through the png path
     save_sample(_moving_video(t=1), str(samples / "sample_0002"))
     # a reconstruction pair for the PSNR/SSIM branch
@@ -185,6 +187,9 @@ def test_eval_cli_end_to_end(tmp_path):
     report = json.loads(proc.stdout)
 
     assert 0.0 <= report["aesthetic_quality"] <= 1.0
+    # one prompt carries a style phrase → the CLIP-based appearance_style
+    # dimension must be reported (over styled samples only)
+    assert np.isfinite(report["appearance_style"])
     dims = {"clip_score", "subject_consistency", "background_consistency",
             "temporal_consistency", "motion_smoothness", "dynamic_degree",
             "imaging_quality", "motion_magnitude"}
@@ -195,6 +200,17 @@ def test_eval_cli_end_to_end(tmp_path):
     assert report["num_samples"] == 5
     assert report["recon_psnr"] > 25.0
     assert 0.0 <= report["recon_ssim"] <= 1.0
+
+
+def test_extract_style_phrase_both_conventions():
+    from opensora_tpu.eval.vbench import extract_style_phrase
+
+    assert (extract_style_phrase("a cat, in the style of Van Gogh")
+            == "in the style of Van Gogh")
+    assert (extract_style_phrase("a city street, oil painting style, 4k")
+            == "oil painting style")
+    assert extract_style_phrase("a plain prompt with no styling") is None
+    assert extract_style_phrase("") is None
 
 
 def test_temporal_consistency_static_is_one():
