@@ -22,12 +22,14 @@ the XLA int8 path's HBM int32 buffers don't fit at this shape) and
 SEQUENTIAL 3-pass CFG (the CFG triple exceeds 16 GiB here; the reference
 offloads at this shape for the same reason).
 
-Weights are generated HOST-SIDE from a random pool (values vary at fine
-grain — all-equal data measures ~2x fast on this chip, NOTES_r1.md) and
-uploaded with a TIMED jax.device_put: the upload times are the model-swap
-costs a real one-chip serving flow pays per request (T5 -> MMDiT -> VAE
-cannot coexist in 16 GiB), reported as e2e_with_swaps. The reference's
-60 s anchor likewise includes its CPU-offload swap traffic.
+Weights are generated ON DEVICE from an uploaded 6 MiB random pool
+(values vary at fine grain — all-equal data measures ~2x fast on this
+chip, NOTES_r1.md; the tunneled link moved full trees at 0.02 GiB/s, so
+bulk upload is off the setup path). Model-swap costs — what a real
+one-chip serving flow pays per request, since T5 -> MMDiT -> VAE cannot
+coexist in 16 GiB — are reported as nbytes over the MEASURED link
+bandwidth (a timed 128 MiB device_put), as e2e_with_swaps. The
+reference's 60 s anchor likewise includes its CPU-offload swap traffic.
 
 A "train" phase times one jitted train step (fwd+bwd+AdamW+EMA,
 remat=dots) at flagship layer geometry / reduced depth and reports
@@ -77,17 +79,53 @@ def _sync():
     jax.device_get(jnp.zeros(()) + 1.0)
 
 
-def _host_rand_like(shapes, seed, scale=0.02):
-    """Host-side random params: each leaf is filled from a 1M-entry random
-    pool (per-leaf offset), so values vary at fine grain without paying
-    either np.random at full size (1 CPU core) or on-device threefry
-    (whose uint32 temporaries OOMed 11B-geometry setups, NOTES_r2).
-    Float leaves are emitted bf16 (serving dtype; fp32 masters don't fit
-    next to the serving working set)."""
-    import ml_dtypes
+_LINK_BW = {}
+
+
+def _probe_link_bw(log):
+    """Measured host->device bandwidth (GiB/s) from a timed 128 MiB
+    device_put — the per-GiB model-swap cost of THIS serving environment.
+    (Here the chip sits behind a network tunnel measuring ~0.02 GiB/s;
+    production v5e host DMA is O(10 GiB/s). The bandwidth is reported so
+    the swap rows stay interpretable either way.)"""
     import numpy as np
     import jax
 
+    if "bw" not in _LINK_BW:
+        buf = np.random.default_rng(0).standard_normal(1 << 25).astype(np.float32)
+        t0 = time.perf_counter()
+        jax.device_put(buf)
+        _sync()
+        _LINK_BW["bw"] = buf.nbytes / 2**30 / (time.perf_counter() - t0)
+        log(f"link bandwidth probe: {_LINK_BW['bw']:.3f} GiB/s")
+    return _LINK_BW["bw"]
+
+
+def _device_rand_tree(shapes, seed, log, name, scale=0.02):
+    """Random weight tree generated ON DEVICE: upload three 1M-entry pools
+    (~6 MiB) and expand every leaf in ONE jitted executable — each leaf is
+    a slice of a tiled pool (per-leaf offset), which XLA fuses into a
+    single data-movement kernel, so values vary at fine grain (all-equal
+    data measures ~2x fast on this chip, NOTES_r1) with no big temporaries
+    (on-device threefry's uint32 scratch OOMed 11B setups, NOTES_r2).
+
+    Replaces the full-tree host upload: the tunneled link moved the
+    11.15 GiB MMDiT tree at 0.02 GiB/s = 633 s of setup (round-3 run).
+    The model-swap cost a real one-chip serving flow pays per request is
+    reported analytically as nbytes / measured link bandwidth (same
+    number the timed upload produced, minus the wait).
+
+    Dtype policy (matches the retired host generator bit-for-bit):
+    int8 leaves from an int8 pool; fp32 vectors/scalars (quant scales,
+    norm gains) from a small-positive fp32 pool; every other float leaf is
+    emitted bf16 even when the init shape says fp32 — serving runs bf16
+    and an fp32 T5-XXL tree is 18.8 GiB, which OOMed the chip on upload."""
+    import ml_dtypes
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
     rng = np.random.default_rng(seed)
     pool_f = (rng.standard_normal(1 << 20).astype(np.float32) * scale).astype(
         ml_dtypes.bfloat16
@@ -96,43 +134,44 @@ def _host_rand_like(shapes, seed, scale=0.02):
     pool_s = rng.uniform(0.002, 0.02, 1 << 20).astype(np.float32)
 
     leaves, treedef = jax.tree.flatten(shapes)
-    out = []
+    specs = []
     for i, s in enumerate(leaves):
         n = int(np.prod(s.shape)) if s.shape else 1
         off = (i * 997) % (1 << 19)
         if s.dtype == np.int8:
-            pool, out_dtype = pool_i, np.int8
+            cls = "i"
         elif str(s.dtype) == "float32" and s.ndim <= 1:
-            # quant scales / norm vectors: positive, tiny — keep fp32
-            pool, out_dtype = pool_s, np.float32
+            cls = "s"
         elif s.dtype in (np.float32, ml_dtypes.bfloat16):
-            # big float leaves are ALWAYS emitted bf16, even when the init
-            # shape says fp32: serving runs bf16 and an fp32 T5-XXL tree is
-            # 18.8 GiB — it OOMed the 16 GiB chip on upload (round-3 run 1)
-            pool, out_dtype = pool_f, ml_dtypes.bfloat16
+            cls = "f"
         else:
-            out.append(np.zeros(s.shape, s.dtype))
-            continue
-        reps = -(-(n + off) // pool.size)
-        buf = np.tile(pool, reps)[off:off + n].reshape(s.shape)
-        out.append(np.ascontiguousarray(buf.astype(out_dtype, copy=False)))
-    return jax.tree.unflatten(treedef, out)
+            cls = None
+        specs.append((cls, off, n, s.shape, s.dtype))
 
+    def expand(pf, pi, ps):
+        pools = {"f": pf, "i": pi, "s": ps}
+        outs = []
+        for cls, off, n, shape, dtype in specs:
+            if cls is None:
+                outs.append(jnp.zeros(shape, dtype))
+                continue
+            pool = pools[cls]
+            reps = -(-(n + off) // pool.size)
+            flat = jnp.tile(pool, reps) if reps > 1 else pool
+            outs.append(flat[off:off + n].reshape(shape))
+        return tuple(outs)
 
-def _upload(host_tree, log, name):
-    """Timed host->device transfer of a full weight tree = the model-swap
-    cost of a one-chip serving flow (and the fast path for bench setup —
-    replaces on-device threefry generation)."""
-    import jax
-
-    nbytes = sum(x.nbytes for x in jax.tree.leaves(host_tree))
-    t0 = time.perf_counter()
-    dev = jax.device_put(host_tree)
+    dev = jax.jit(expand)(
+        jax.device_put(pool_f), jax.device_put(pool_i), jax.device_put(pool_s)
+    )
     _sync()
-    dt = time.perf_counter() - t0
-    log(f"{name} upload {nbytes / 2**30:.2f} GiB in {dt:.1f}s "
-        f"({nbytes / 2**30 / max(dt, 1e-9):.2f} GiB/s)")
-    return dev, dt, nbytes
+    nbytes = sum(x.nbytes for x in dev)
+    bw = _probe_link_bw(log)
+    swap_s = nbytes / 2**30 / bw
+    log(f"{name} on-device gen {nbytes / 2**30:.2f} GiB in "
+        f"{time.perf_counter() - t0:.1f}s; swap cost {swap_s:.0f}s analytic "
+        f"at the measured {bw:.3f} GiB/s link")
+    return jax.tree.unflatten(treedef, list(dev)), swap_s, nbytes
 
 
 def bench_text(log):
@@ -147,9 +186,7 @@ def bench_text(log):
     ids = jnp.zeros((3, 512), jnp.int32)
     t0 = time.perf_counter()
     shapes = jax.eval_shape(t5.init, jax.random.PRNGKey(0), ids)
-    host_vars = _host_rand_like(shapes, 1)
-    t5_vars, t_swap_t5, _ = _upload(host_vars, log, "t5-xxl")
-    del host_vars
+    t5_vars, t_swap_t5, _ = _device_rand_tree(shapes, 1, log, "t5-xxl")
     f5 = jax.jit(lambda v, i: t5.apply(v, i))
     fetch = lambda o: jax.device_get(jnp.sum(o.astype(jnp.float32)))
     t_t5 = _timed(lambda: f5(t5_vars, ids), fetch)
@@ -159,11 +196,9 @@ def bench_text(log):
 
     clip = CLIPTextModel(clip_l_config())
     cids = jnp.zeros((3, 77), jnp.int32)
-    host_c = _host_rand_like(
-        jax.eval_shape(clip.init, jax.random.PRNGKey(0), cids), 2
+    cvars, t_swap_clip, _ = _device_rand_tree(
+        jax.eval_shape(clip.init, jax.random.PRNGKey(0), cids), 2, log, "clip-l"
     )
-    cvars, t_swap_clip, _ = _upload(host_c, log, "clip-l")
-    del host_c
     fc = jax.jit(lambda v, i: clip.apply(v, i))
     fetch_c = lambda o: jax.device_get(jnp.sum(o[0].astype(jnp.float32))
                                        if isinstance(o, tuple) else
@@ -220,9 +255,7 @@ def bench_denoise(log):
     args256 = _mmdit_args(33, 24, 42, 512, B=3)
     model_w8a8 = MMDiTModel(MMDiTConfig(**base, quantized="w8a8"))
     shapes = jax.eval_shape(model_w8a8.init, jax.random.PRNGKey(0), *args256)
-    host_vars = _host_rand_like(shapes, 6)
-    variables, t_swap, nbytes = _upload(host_vars, log, "mmdit-int8")
-    del host_vars
+    variables, t_swap, nbytes = _device_rand_tree(shapes, 6, log, "mmdit-int8")
 
     times = {}
     fwd = jax.jit(lambda v, *a: model_w8a8.apply(v, *a))
@@ -282,9 +315,7 @@ def bench_vae_decode(log):
             jnp.zeros((1, 3, 5, 64, 64), jnp.bfloat16),
         )
     )
-    host_vars = _host_rand_like(shapes, 8)
-    variables, t_swap, _ = _upload(host_vars, log, "hunyuan-vae")
-    del host_vars
+    variables, t_swap, _ = _device_rand_tree(shapes, 8, log, "hunyuan-vae")
     # production decode path (utils/api.py): host-loop tiles around jitted
     # per-tile cores — jitting the whole 768px decode as one graph keeps
     # every tile's activations live and OOMs 16 GiB (tiled.py docstring)
@@ -344,9 +375,8 @@ def bench_train(log):
         batch["x0"], batch["img_ids"], batch["txt"], batch["txt_ids"],
         jnp.zeros((B,)), batch["y_vec"], batch["cond"], batch["guidance"],
     )
-    host_params = _host_rand_like(shapes, 11)["params"]
-    params, _, _ = _upload(host_params, log, "mmdit-train(2+4)")
-    del host_params
+    params, _, _ = _device_rand_tree(shapes, 11, log, "mmdit-train(2+4)")
+    params = params["params"]
     tx = create_optimizer(lr=1e-4)
     state = TrainState.create(params, tx, ema=True)
     step_fn = jax.jit(
@@ -476,6 +506,8 @@ def main():
             "vae_decode_768px_s": round(vae["t_dec_768"], 3),
             "cfg_mode_768px": "sequential 3-pass (CFG triple exceeds 16 GiB)",
             # --- serving swap accounting (VERDICT r2 item 5) ---
+            # swap rows = weight bytes / measured host->device bandwidth
+            # (this env's tunnel link; production v5e DMA is O(10 GiB/s))
             "model_swaps_s": round(swaps, 1),
             "e2e_with_swaps_s": round(e2e + swaps, 1),
             "e2e_768px_with_swaps_s": round(e2e_768 + swaps, 1),
