@@ -380,7 +380,10 @@ class I2VDenoiser(Denoiser):
                 + image_gs * (uncond_p - uncond2_p)
                 + text_gs * (cond_p - uncond_p)
             )
-            x = x + (t_prev - t_curr) * merged
+            # cast the fp32 Euler update back to the latent dtype: the fp32
+            # step scalar would otherwise promote a bf16 carry and break the
+            # scan's carry-type invariant (torch keeps the tensor dtype here)
+            x = x + ((t_prev - t_curr) * merged).astype(x.dtype)
             return x, None
 
         x0 = img[:b]
@@ -421,7 +424,7 @@ class DistilledDenoiser(Denoiser):
             pred = model_fn(
                 img=x, timesteps=t_vec, guidance=guidance_vec, **model_kwargs
             )
-            return x + (t_prev - t_curr) * pred, None
+            return x + ((t_prev - t_curr) * pred).astype(x.dtype), None
 
         steps = (timesteps[:-1].astype(jnp.float32), timesteps[1:].astype(jnp.float32))
         x_final, _ = jax.lax.scan(step, img, steps)
