@@ -77,7 +77,13 @@ def _int8_fwd_kernel(
     k8 = k_ref[0, 0]          # (bk, d) int8
     v8 = v_ref[0, 0]          # (bk, d) int8 (bf16 in qk8 mode)
     sq = sq_ref[0, 0]         # (bq, 1) f32 — pre-multiplied by sm_scale*log2e
-    sk = sk_ref[0, 0, 0, 0]   # () f32 — ONE scale for this whole K tile
+    # ONE scale for this whole K tile. The ref carries ALL nk tile scales
+    # (full-array block: Mosaic only lowers blocks whose trailing dims are
+    # (8, 128)-divisible OR span the array — a (1,1,1,1) block over the
+    # (B, H, nk, 1) scale tensor fails that check on real hardware; caught
+    # on first non-interpret compile, round 4) and the kernel picks its
+    # tile's scale with a dynamic sublane index.
+    sk = sk_ref[0, 0, ki, 0]  # () f32
     sv = sv_ref[0, 0]         # (1, d)  f32
     if not pv_int8 and kv_len % block_k != 0:
         # bf16 tail garbage can be NaN (0 * NaN poisons the PV matmul);
@@ -222,7 +228,7 @@ def int8_flash_attention(
             pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, 1, 1), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, nk, 1), lambda b, h, qi, ki: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, 1, dim), lambda b, h, qi, ki: (b, h, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
