@@ -109,16 +109,29 @@ def constrain(x, spec: P):
 
     Spec axes absent from the active mesh degrade to None (replicated) so the
     model's canonical (data, sp, tp) layout hints stay valid on reduced
-    meshes — e.g. the pipeline path's (data, pp) mesh."""
+    meshes — e.g. the pipeline path's (data, pp) mesh. A spec axis whose
+    dimension is NOT divisible by the mesh axis size also degrades to None:
+    the degenerate-split guard (reference distributed.py:615-617 switches SP
+    off for the call when a rank would get zero img tokens; here an odd
+    token count simply stays replicated while everything else keeps its
+    layout)."""
     from opensora_tpu.parallel.context import get_mesh
 
     mesh = get_mesh()
     if mesh is None:
         return x
 
-    def keep(axis):
+    def keep(axis, dim):
         names = axis if isinstance(axis, tuple) else (axis,)
-        return all(n in mesh.shape for n in names)
+        if not all(n in mesh.shape for n in names):
+            return False
+        total = 1
+        for n in names:
+            total *= mesh.shape[n]
+        return dim % total == 0
 
-    spec = P(*(a if (a is None or keep(a)) else None for a in spec))
+    spec = P(*(
+        a if (a is None or keep(a, dim)) else None
+        for a, dim in zip(spec, x.shape)
+    ))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
