@@ -1,9 +1,10 @@
 """VBench-style evaluation components.
 
 The reference tracks VBench externally (README.md:290-302); its eval folder
-is not in the tree (SURVEY.md §4), so this harness is written fresh. Eleven
+is not in the tree (SURVEY.md §4), so this harness is written fresh. Twelve
 dimensions are implemented (VBench name → recipe here; deviations from the
-official detectors are documented inline):
+official detectors are documented inline AND tabulated in docs/eval.md,
+with rank-order calibration tests in tests/test_eval_calibration.py):
 
 - **clip_score** ('overall consistency'): real text-video CLIP similarity
   through the JAX CLIP ViT-L/14 vision + text towers (eval/clip_scorer.py);
@@ -41,6 +42,11 @@ official detectors are documented inline):
   style prompt suite embeds phrases like "..., in the style of Van Gogh";
   the phrase is extracted from the prompt text here). Reported only over
   samples whose prompt carries a style phrase, as in VBench.
+
+- **temporal_style**: CLIP frame-vs-phrase cosine against the prompt's
+  camera-motion phrase (official VBench uses ViCLIP's video encoder —
+  documented proxy; the phrase lexicon is the official temporal-style
+  suite's).
 
 The remaining VBench dimensions (object_class, multiple_objects, color,
 spatial_relationship, scene, human_action, overall_consistency) require
@@ -136,8 +142,11 @@ def _block_flow_magnitude(video: np.ndarray, grid: int = 8,
     estimated by coarse block matching — a RAFT-free stand-in for VBench's
     flow backbone. For each adjacent frame pair, the luma is downsampled,
     split into a ``grid``x``grid`` patch grid, and each patch is matched
-    against +-``search`` px shifts of the next frame; the median patch
-    displacement per pair is averaged over the video."""
+    against +-``search`` px shifts of the next frame; the 95th-percentile
+    patch displacement per pair is averaged over the video (official
+    VBench scores the mean of the LARGEST RAFT flow magnitudes for the
+    same reason: a salient moving object must register as motion even
+    when most of the scene is static)."""
     y = _luma(np.asarray(video, np.float64))[:, ::down, ::down]
     t, h, w = y.shape
     if t < 2 or h <= 2 * search or w <= 2 * search:
@@ -173,7 +182,7 @@ def _block_flow_magnitude(video: np.ndarray, grid: int = 8,
             take = (err < best_err) | ((err == best_err) & (d < best_disp))
             best_err = np.where(take, err, best_err)
             best_disp = np.where(take, d, best_disp)
-    mags = [float(np.median(best_disp[f][textured[f]]))
+    mags = [float(np.quantile(best_disp[f][textured[f]], 0.95))
             for f in range(t - 1) if textured[f].any()]
     return float(np.mean(mags)) if mags else 0.0
 
@@ -233,7 +242,12 @@ def aesthetic_quality(video: np.ndarray, scorer, head,
 
 
 _STYLE_RE = re.compile(
-    r"\bin the style of ([^,.;]+)|\b([A-Za-z][A-Za-z0-9 .'&-]*?) style\b",
+    # branch 2 must be a COMMA/SEMICOLON-DELIMITED TRAILING clause (the
+    # VBench style-suite convention "..., oil painting style"): an
+    # unanchored "<words> style" over-matched generic prose like
+    # "A style icon ..." and diluted the dimension average (ADVICE r3)
+    r"\bin the style of ([^,.;]+)"
+    r"|[,;]\s*([A-Za-z][A-Za-z0-9 .'&-]*?)\s+style\b(?=\s*[,.;!?]|\s*$)",
     re.IGNORECASE,
 )
 
@@ -242,7 +256,8 @@ def extract_style_phrase(text: str) -> Optional[str]:
     """Pull the style phrase out of a VBench-style prompt.
 
     Matches both suite conventions: ``..., in the style of Van Gogh`` and
-    ``..., oil painting style``. Returns the normalized phrase
+    ``..., oil painting style`` (the latter only as a trailing
+    comma-delimited clause). Returns the normalized phrase
     (``"in the style of ..." / "... style"``) or None."""
     m = _STYLE_RE.search(text or "")
     if not m:
@@ -256,7 +271,44 @@ def appearance_style(video: np.ndarray, style_text: str, scorer,
                      max_frames: int = 8) -> float:
     """VBench 'appearance style': mean CLIP cosine between sampled frame
     embeddings and the style phrase's text embedding (the official recipe
-    — this dimension uses CLIP directly, no detector)."""
+    family — this dimension uses CLIP directly, no detector; official
+    VBench runs it on CLIP ViT-B/32 while the scorer here is ViT-L/14 —
+    documented backbone deviation)."""
+    emb = scorer.embed_frames(video, max_frames=max_frames)
+    t = scorer.embed_text(style_text)
+    return float((emb @ t).mean())
+
+
+# VBench's temporal-style suite appends one of these camera/tempo phrases
+# to the prompt (suite convention: a trailing comma-delimited clause)
+_TEMPORAL_STYLES = (
+    "camera pans left", "camera pans right", "camera tilts up",
+    "camera tilts down", "zoom in", "zoom out", "in super slow motion",
+    "racking focus",
+)
+_TEMPORAL_STYLE_RE = re.compile(
+    r"[,;]\s*(" + "|".join(re.escape(s) for s in _TEMPORAL_STYLES) + r")\s*[.!?]?\s*$",
+    re.IGNORECASE,
+)
+
+
+def extract_temporal_style_phrase(text: str) -> Optional[str]:
+    """Temporal-style phrase (camera motion / tempo) from a VBench
+    temporal-style prompt — lexicon-gated so generic prose never
+    matches."""
+    m = _TEMPORAL_STYLE_RE.search(text or "")
+    return m.group(1).strip().lower() if m else None
+
+
+def temporal_style(video: np.ndarray, style_text: str, scorer,
+                   max_frames: int = 8) -> float:
+    """VBench 'temporal style': consistency between the video and the
+    prompt's temporal-style (camera motion) phrase. Official VBench scores
+    it with ViCLIP's video encoder; that backbone is not in this
+    zero-egress image, so the proxy scores the mean CLIP cosine between
+    sampled FRAME embeddings and the phrase (the appearance_style recipe
+    family applied to the temporal phrase — documented proxy: per-frame
+    CLIP cannot see motion direction, only its visual correlates)."""
     emb = scorer.embed_frames(video, max_frames=max_frames)
     t = scorer.embed_text(style_text)
     return float((emb @ t).mean())
@@ -302,5 +354,13 @@ def evaluate_videos(videos: List[np.ndarray], texts: List[str],
         if styled:
             out["appearance_style"] = float(np.mean(
                 [appearance_style(v, s, clip_scorer) for v, s in styled]
+            ))
+        t_styled = [
+            (v, s) for v, t in zip(videos, texts)
+            if (s := extract_temporal_style_phrase(t)) is not None
+        ]
+        if t_styled:
+            out["temporal_style"] = float(np.mean(
+                [temporal_style(v, s, clip_scorer) for v, s in t_styled]
             ))
     return out
