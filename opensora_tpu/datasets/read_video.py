@@ -1,4 +1,10 @@
-"""PyAV video decode path (gated), with the cv2 reader as fallback.
+"""Video decode. PRODUCTION PATH IN THIS IMAGE: the cv2 reader
+(datasets/utils.py — OpenCV bundles its own FFmpeg, so local mp4/mov decode
+is fully functional). The pyav path below is written, unit-tested, and
+import-gated; it activates automatically where ``av`` is installed (it is
+not installable here: zero egress, no wheel in the image, no system ffmpeg
+binary to pipe to — checked round 4) and adds URL sources, rotation
+metadata, and fps-mapped decode on top of cv2's capabilities.
 
 Behavioral reference: opensora/datasets/read_video.py:18-257 — the reference
 forked torchvision's pyav reader to (1) skip audio, (2) close containers and
