@@ -311,7 +311,11 @@ def bench_text(log):
     t_clip = _timed(lambda: fc(cvars, cids), fetch_c)
     log(f"clip-l encode {t_clip:.3f}s")
     del cvars
-    return {"t_text": t_t5 + t_clip, "t_swap_text": t_swap_t5 + t_swap_clip}
+    return {
+        "t_text": t_t5 + t_clip,
+        "t_swap_text": t_swap_t5 + t_swap_clip,
+        "link_bw": dict(_LINK_BW),
+    }
 
 
 def _mmdit_base():
@@ -527,6 +531,14 @@ def bench_flow(log):
     )
     fcl = jax.jit(lambda v, i: clip.apply(v, i))
     fclc = fcl.lower(cvars, cids).compile()
+    # warm both programs once: the FIRST execution of a freshly compiled
+    # executable pays one-time program load/initialization on this backend
+    # (observed 64 s for the 9.4 GiB T5 program vs 0.1 s warm) — the flow
+    # row measures a steady-state request, same semantics as the
+    # synthesized sum it is meant to bound
+    _w = f5c(t5_vars, ids)
+    _w2 = fclc(cvars, cids)
+    del _w, _w2
     _sync()
 
     t0 = time.perf_counter()
@@ -585,14 +597,32 @@ def bench_flow(log):
             patch_size=2, cfg_batched=True, **mkw,
         )
 
+    # The scan runs in CHUNK-step segments (one compiled executable reused
+    # across segments; the shared boundary timestep keeps the Euler chain
+    # exact, and with oscillation off the per-step guidance is constant, so
+    # chunking is numerically identical to one 50-step scan). One monolithic
+    # 50-step execution is ~170 s of device time — the round-4 on-chip run
+    # crashed the tunneled TPU worker mid-execution at exactly that point,
+    # while every ≤40 s execution in the other phases passed. A tiny fetch
+    # between segments bounds each RPC at ~CHUNK * t_step.
+    CHUNK = 2 if SMOKE else 10
+    assert NUM_STEPS % CHUNK == 0
+    seg0 = timesteps[: CHUNK + 1]
     runj = jax.jit(run)
-    runc = runj.lower(variables, img, timesteps, model_kwargs, masks, masked_ref).compile()
+    runc = runj.lower(variables, img, seg0, model_kwargs, masks, masked_ref).compile()
     _sync()
     t0 = time.perf_counter()
-    x = runc(variables, img, timesteps, model_kwargs, masks, masked_ref)
+    x = img
+    for k in range(0, NUM_STEPS, CHUNK):
+        seg = jax.lax.slice_in_dim(timesteps, k, k + CHUNK + 1, axis=0)
+        x_b = runc(variables, x, seg, model_kwargs, masks, masked_ref)
+        jax.device_get(x_b[0, 0, 0])  # bound the per-RPC execution span
+        x = jnp.concatenate([x_b, x_b, x_b], axis=0)
+    x = x[:B]
     jax.device_get(jnp.sum(x[:, 0, 0].astype(jnp.float32)))
     total["t_denoise"] = time.perf_counter() - t0
-    log(f"flow denoise {NUM_STEPS} steps {total['t_denoise']:.3f}s")
+    log(f"flow denoise {NUM_STEPS} steps ({CHUNK}/segment) "
+        f"{total['t_denoise']:.3f}s")
     del variables, runj, runc
     _sync()
 
@@ -824,6 +854,11 @@ def main():
         "e2e_with_swaps_s_analytic": round(e2e + swaps, 1),
         "e2e_768px_with_swaps_s_analytic": round(e2e_768 + swaps, 1),
         "swap_note": "analytic: nbytes / measured multi-leaf link bandwidth",
+        # measured host->device bandwidth behind the swap rows (this env
+        # tunnels the chip over a network link; production v5e host DMA is
+        # O(10 GiB/s) — divide the swap rows accordingly)
+        "link_bw_contig_gibps": round(text["link_bw"]["contig"], 4),
+        "link_bw_multileaf_gibps": round(text["link_bw"]["multileaf"], 4),
         # --- training throughput (VERDICT r2 item 3) ---
         "train_step_s_2x4_blocks": round(train["t_train_step"], 4),
         "train_model_tflops": round(train["train_model_tflops"], 1),

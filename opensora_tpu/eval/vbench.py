@@ -1,8 +1,8 @@
 """VBench-style evaluation components.
 
 The reference tracks VBench externally (README.md:290-302); its eval folder
-is not in the tree (SURVEY.md §4), so this harness is written fresh. Twelve
-dimensions are implemented (VBench name → recipe here; deviations from the
+is not in the tree (SURVEY.md §4), so this harness is written fresh. All 16
+official dimensions are implemented (VBench name → recipe here; deviations from the
 official detectors are documented inline AND tabulated in docs/eval.md,
 with rank-order calibration tests in tests/test_eval_calibration.py):
 
@@ -48,11 +48,40 @@ with rank-order calibration tests in tests/test_eval_calibration.py):
   documented proxy; the phrase lexicon is the official temporal-style
   suite's).
 
-The remaining VBench dimensions (object_class, multiple_objects, color,
-spatial_relationship, scene, human_action, overall_consistency) require
-detection/captioning backbones (GRiT, Tag2Text, UMT, ViCLIP) that are not
-in this zero-egress image; clip_score is the documented stand-in for
-overall_consistency."""
+The detection-suite dimensions (official backbones GRiT / Tag2Text / UMT,
+none available in this zero-egress image) are implemented as CLIP
+ZERO-SHOT VOTING proxies — per sampled frame, the target phrase competes
+against a distractor vocabulary in CLIP space and the frame votes for the
+argmax; the video's score is its frame-vote fraction and the set-level
+score is the mean over applicable videos (VBench likewise reports
+detection success rates over each dimension's own prompt suite):
+
+- **object_class** (official: GRiT detection): frame votes "a photo of a
+  {class}" against ``_OBJECT_VOCAB`` distractors.
+- **multiple_objects** (official: GRiT detects BOTH): a frame votes
+  success only if EACH prompted object wins its own vocabulary vote.
+- **color** (official: GRiT attribute): "a {color} {object}" against the
+  same object in every other ``_COLOR_VOCAB`` color.
+- **spatial_relationship** (official: GRiT box geometry): the prompted
+  relation phrase against the SWAPPED relation (left<->right,
+  above<->below) — a weak diagnostic: CLIP is known to be poor at
+  spatial composition; documented as such.
+- **scene** (official: Tag2Text captioning): zero-shot vote against
+  ``_SCENE_VOCAB``.
+- **human_action** (official: UMT video recognition): "a person is
+  {action}" against ``_ACTION_VOCAB`` (per-frame proxy of a video
+  backbone).
+- **overall_consistency** (official: ViCLIP text-video): reported as the
+  CLIP text-video similarity (= clip_score on the full prompt) — same
+  quantity through an image backbone.
+
+Each applies only to samples whose prompt (or explicit ``meta`` entry)
+carries the dimension's slot — mirroring VBench, where every dimension
+has its own prompt suite. Prompts are parsed with the official suites'
+templates ("a photo of a {x}", "a photo of a {a} and a {b}",
+"a {color} {obj}", "a person is {action}", "{a} on the left of {b}");
+``meta`` dicts override parsing (keys: object / objects / color+object /
+scene / action / spatial)."""
 
 from __future__ import annotations
 
@@ -314,8 +343,190 @@ def temporal_style(video: np.ndarray, style_text: str, scorer,
     return float((emb @ t).mean())
 
 
+# ======================================================
+# Detection-suite proxies (CLIP zero-shot voting)
+# ======================================================
+
+# Distractor vocabularies for the zero-shot votes. Drawn from the object /
+# color / scene / action categories the official suites sample from (COCO
+# classes, base colors, Places-style scenes, Kinetics-style actions); the
+# exact official lists ship with VBench's prompt JSONs, which are not in
+# this image — callers can pass their own ``vocab=`` to match them exactly.
+_OBJECT_VOCAB = (
+    "person", "cat", "dog", "horse", "sheep", "cow", "elephant", "bear",
+    "zebra", "giraffe", "bird", "airplane", "bicycle", "car", "motorcycle",
+    "bus", "train", "truck", "boat", "bench", "backpack", "umbrella",
+    "suitcase", "frisbee", "skateboard", "surfboard", "bottle", "cup",
+    "bowl", "banana", "apple", "sandwich", "orange", "pizza", "cake",
+    "chair", "couch", "bed", "laptop", "clock", "vase", "teddy bear",
+)
+_COLOR_VOCAB = (
+    "red", "orange", "yellow", "green", "blue", "purple", "pink",
+    "black", "white", "brown", "gray",
+)
+_SCENE_VOCAB = (
+    "alley", "amusement park", "aquarium", "beach", "botanical garden",
+    "bridge", "castle", "cliff", "desert", "forest", "fountain", "glacier",
+    "harbor", "highway", "lake", "library", "lighthouse", "mountain",
+    "ocean", "office", "rainforest", "restaurant", "skyscraper", "street",
+    "temple", "tower", "underwater", "valley", "village", "waterfall",
+)
+_ACTION_VOCAB = (
+    "dancing", "running", "swimming", "cooking", "reading a book",
+    "playing guitar", "playing piano", "riding a bike", "riding a horse",
+    "climbing", "surfing", "skiing", "drinking coffee", "eating",
+    "laughing", "painting", "singing", "typing on a keyboard",
+    "doing yoga", "playing basketball",
+)
+
+_SPATIAL_SWAP = {
+    "left": "right", "right": "left",
+    "top": "bottom", "bottom": "top",
+    "above": "below", "below": "above",
+}
+
+_ARTICLE = r"(?:a|an|the)"
+_OBJ_WORD = r"[A-Za-z][A-Za-z '-]*?"
+_OBJECT_RE = re.compile(
+    rf"^a (?:photo|video) of {_ARTICLE} ({_OBJ_WORD})\s*[.!?]?\s*$", re.IGNORECASE
+)
+_MULTI_RE = re.compile(
+    rf"^a (?:photo|video) of {_ARTICLE} ({_OBJ_WORD}) and {_ARTICLE} ({_OBJ_WORD})\s*[.!?]?\s*$",
+    re.IGNORECASE,
+)
+_COLOR_RE = re.compile(
+    rf"^a ({'|'.join(_COLOR_VOCAB)}) ({_OBJ_WORD})\s*[.!?]?\s*$", re.IGNORECASE
+)
+_ACTION_RE = re.compile(
+    r"^a person is ([a-z][a-z '-]+?)\s*[.!?]?\s*$", re.IGNORECASE
+)
+_SPATIAL_RE = re.compile(
+    rf"^{_ARTICLE} ({_OBJ_WORD}) (?:is )?"
+    rf"(?:on|to) the (left|right|top|bottom) (?:side )?of {_ARTICLE} ({_OBJ_WORD})\s*[.!?]?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _zero_shot_votes(video, scorer, texts: List[str], max_frames: int = 8):
+    """Per-frame softmax-free argmax vote: (frames x texts) cosine matrix;
+    returns the per-frame winner indices (CLIP embeddings are unit-norm, so
+    argmax cosine == argmax logit)."""
+    emb = scorer.embed_frames(video, max_frames=max_frames)       # (N, d)
+    txt = np.stack([scorer.embed_text(t) for t in texts])          # (K, d)
+    return np.argmax(emb @ txt.T, axis=1)                          # (N,)
+
+
+def _vote_fraction(video, scorer, target: str, distractors, template: str,
+                   max_frames: int = 8) -> float:
+    pool = [target] + [d for d in distractors if d.lower() != target.lower()]
+    wins = _zero_shot_votes(
+        video, scorer, [template.format(x) for x in pool], max_frames
+    )
+    return float(np.mean(wins == 0))
+
+
+def object_class(video: np.ndarray, cls: str, scorer,
+                 vocab=_OBJECT_VOCAB, max_frames: int = 8) -> float:
+    """VBench 'object class' (official: GRiT detection success) — CLIP
+    zero-shot proxy: fraction of sampled frames voting "a photo of a
+    {cls}" over the distractor vocabulary."""
+    return _vote_fraction(video, scorer, cls, vocab, "a photo of a {}",
+                          max_frames)
+
+
+def multiple_objects(video: np.ndarray, cls_a: str, cls_b: str, scorer,
+                     vocab=_OBJECT_VOCAB, max_frames: int = 8) -> float:
+    """VBench 'multiple objects' (official: BOTH objects detected) — frame
+    succeeds only if each prompted object wins its own vocabulary vote."""
+    emb = scorer.embed_frames(video, max_frames=max_frames)
+    ok = np.ones(emb.shape[0], dtype=bool)
+    for cls in (cls_a, cls_b):
+        pool = [cls] + [d for d in vocab if d.lower() != cls.lower()]
+        txt = np.stack([scorer.embed_text(f"a photo of a {x}") for x in pool])
+        ok &= np.argmax(emb @ txt.T, axis=1) == 0
+    return float(np.mean(ok))
+
+
+def color(video: np.ndarray, color_name: str, obj: str, scorer,
+          vocab=_COLOR_VOCAB, max_frames: int = 8) -> float:
+    """VBench 'color' (official: GRiT attribute) — the prompted color must
+    win against the SAME object in every other color."""
+    return _vote_fraction(
+        video, scorer, color_name, vocab, "a {} " + obj, max_frames
+    )
+
+
+def spatial_relationship(video: np.ndarray, obj_a: str, relation: str,
+                         obj_b: str, scorer, max_frames: int = 8) -> float:
+    """VBench 'spatial relationship' (official: GRiT box geometry) — the
+    prompted relation phrase vs the SWAPPED relation. A weak diagnostic:
+    CLIP is known to be poor at spatial composition (documented)."""
+    swapped = _SPATIAL_SWAP[relation.lower()]
+    wins = _zero_shot_votes(
+        video, scorer,
+        [f"a {obj_a} on the {relation} of a {obj_b}",
+         f"a {obj_a} on the {swapped} of a {obj_b}"],
+        max_frames,
+    )
+    return float(np.mean(wins == 0))
+
+
+def scene(video: np.ndarray, scene_name: str, scorer,
+          vocab=_SCENE_VOCAB, max_frames: int = 8) -> float:
+    """VBench 'scene' (official: Tag2Text captioning) — zero-shot scene
+    vote against the scene vocabulary."""
+    return _vote_fraction(video, scorer, scene_name, vocab,
+                          "a photo of the {}", max_frames)
+
+
+def human_action(video: np.ndarray, action: str, scorer,
+                 vocab=_ACTION_VOCAB, max_frames: int = 8) -> float:
+    """VBench 'human action' (official: UMT video recognition) — per-frame
+    zero-shot vote for "a person is {action}" (a frame-level proxy of a
+    video backbone: motion-defined actions lean on visual correlates)."""
+    return _vote_fraction(video, scorer, action, vocab,
+                          "a person is {}", max_frames)
+
+
+def extract_object_class(text: str) -> Optional[str]:
+    """'a photo of a {cls}' (the object_class suite template) → cls."""
+    if _MULTI_RE.match(text or ""):
+        return None  # the two-object template is the multiple_objects suite
+    m = _OBJECT_RE.match(text or "")
+    return m.group(1).strip().lower() if m else None
+
+
+def extract_multiple_objects(text: str) -> Optional[tuple]:
+    """'a photo of a {a} and a {b}' → (a, b)."""
+    m = _MULTI_RE.match(text or "")
+    return (m.group(1).strip().lower(), m.group(2).strip().lower()) if m else None
+
+
+def extract_color_object(text: str) -> Optional[tuple]:
+    """'a {color} {obj}' → (color, obj); the color must be in the suite's
+    color list so ordinary prompts ('a big dog') never match."""
+    m = _COLOR_RE.match(text or "")
+    return (m.group(1).lower(), m.group(2).strip().lower()) if m else None
+
+
+def extract_human_action(text: str) -> Optional[str]:
+    """'a person is {action}' → action."""
+    m = _ACTION_RE.match(text or "")
+    return m.group(1).strip().lower() if m else None
+
+
+def extract_spatial_relationship(text: str) -> Optional[tuple]:
+    """'a {a} on the {rel} of a {b}' → (a, rel, b)."""
+    m = _SPATIAL_RE.match(text or "")
+    if not m:
+        return None
+    return (m.group(1).strip().lower(), m.group(2).lower(),
+            m.group(3).strip().lower())
+
+
 def evaluate_videos(videos: List[np.ndarray], texts: List[str],
-                    clip_scorer=None, aesthetic_head=None) -> Dict[str, float]:
+                    clip_scorer=None, aesthetic_head=None,
+                    meta: Optional[List[dict]] = None) -> Dict[str, float]:
     out = {
         "temporal_consistency": float(
             np.mean([temporal_consistency(v) for v in videos])
@@ -363,4 +574,37 @@ def evaluate_videos(videos: List[np.ndarray], texts: List[str],
             out["temporal_style"] = float(np.mean(
                 [temporal_style(v, s, clip_scorer) for v, s in t_styled]
             ))
+
+        # detection-suite proxies: each applies only to samples whose
+        # prompt matches its suite template (or whose ``meta`` entry names
+        # the slot explicitly, which takes precedence)
+        def _slot(i, key, extractor):
+            if meta is not None and i < len(meta) and meta[i] and key in meta[i]:
+                return meta[i][key]
+            return extractor(texts[i])
+
+        def _dim(name, key, extractor, fn):
+            vals = [
+                fn(videos[i], s) for i in range(len(videos))
+                if (s := _slot(i, key, extractor)) is not None
+            ]
+            if vals:
+                out[name] = float(np.mean(vals))
+
+        _dim("object_class", "object", extract_object_class,
+             lambda v, s: object_class(v, s, clip_scorer))
+        _dim("multiple_objects", "objects", extract_multiple_objects,
+             lambda v, s: multiple_objects(v, s[0], s[1], clip_scorer))
+        _dim("color", "color_object", extract_color_object,
+             lambda v, s: color(v, s[0], s[1], clip_scorer))
+        _dim("spatial_relationship", "spatial", extract_spatial_relationship,
+             lambda v, s: spatial_relationship(v, s[0], s[1], s[2], clip_scorer))
+        _dim("scene", "scene", lambda t: None,
+             lambda v, s: scene(v, s, clip_scorer))
+        _dim("human_action", "action", extract_human_action,
+             lambda v, s: human_action(v, s, clip_scorer))
+        # official overall_consistency is ViCLIP text-video similarity;
+        # clip_score is the same quantity through the CLIP image towers
+        if "clip_score" in out:
+            out["overall_consistency"] = out["clip_score"]
     return out

@@ -61,10 +61,12 @@ class QuantDense(nn.Module):
             features = b - a
         n_rows = x.size // in_f
         if self.mode == "w8a8" or (
-            # the Pallas path exists to keep the int32 accumulator out of
-            # HBM; for few-row matmuls (modulation/vec embeds) that buffer
-            # is tiny and the XLA path is both faster and shape-flexible
-            self.mode == "w8a8_pallas" and (n_rows < 1024 or in_f % 512)
+            # the Pallas paths exist to keep the int32 accumulator out of
+            # HBM (and, for _fq, the int8 activations too); for few-row
+            # matmuls (modulation/vec embeds) those buffers are tiny and
+            # the XLA path is both faster and shape-flexible
+            self.mode in ("w8a8_pallas", "w8a8_fq")
+            and (n_rows < 1024 or in_f % 512)
         ):
             xf = x.astype(jnp.float32)
             s_a = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
@@ -76,6 +78,23 @@ class QuantDense(nn.Module):
                 preferred_element_type=jnp.int32,
             )
             y = (acc.astype(jnp.float32) * s_a * scale).astype(self.dtype)
+        elif self.mode == "w8a8_fq":
+            # fused-quant Pallas kernel (ops/int8_matmul.py): activations
+            # arrive bf16 and quantize IN VMEM — no XLA quantize preamble
+            # (abs-max + cast + int8 write-back round-trips through HBM)
+            # and no int8 activation tensor in HBM; only the per-row
+            # abs-max reduction stays outside, fused by XLA into the
+            # producing norm/modulate chain
+            from opensora_tpu.ops.int8_matmul import w8a8_fusedquant_matmul
+
+            lead = x.shape[:-1]
+            y = w8a8_fusedquant_matmul(
+                x.reshape(-1, in_f).astype(self.dtype), q, scale,
+                block_m=512, block_n=1024,
+                block_k=512 if in_f % 1024 else 1024,
+                out_dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(*lead, features)
         elif self.mode == "w8a8_pallas":
             # fused Pallas kernel (ops/int8_matmul.py): the int32 accumulator
             # stays in VMEM, only the rescaled bf16 tile hits HBM. ~16% lower

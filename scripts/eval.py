@@ -56,12 +56,19 @@ def main():
     files = sorted(
         f for f in os.listdir(sample_dir) if f.endswith((".mp4", ".png"))
     )
-    videos, texts = [], []
+    videos, texts, meta = [], [], []
     for f in files:
         v = load_video(os.path.join(sample_dir, f))
         videos.append(v)
-        txt_file = os.path.join(sample_dir, f.rsplit(".", 1)[0] + ".txt")
-        texts.append(open(txt_file).read() if os.path.exists(txt_file) else "")
+        stem = os.path.join(sample_dir, f.rsplit(".", 1)[0])
+        texts.append(open(stem + ".txt").read() if os.path.exists(stem + ".txt") else "")
+        # optional per-sample sidecar naming detection-suite slots explicitly
+        # (keys: object / objects / color_object / scene / action / spatial),
+        # overriding prompt-template parsing — VBench's suite JSONs carry the
+        # same auxiliary info
+        meta.append(
+            json.load(open(stem + ".json")) if os.path.exists(stem + ".json") else None
+        )
 
     if not videos:
         print(json.dumps({"error": f"no samples in {sample_dir}"}))
@@ -73,7 +80,7 @@ def main():
     scorer = try_load_scorer(args.clip)
     head = try_load_head(args.aesthetic)
     report = evaluate_videos(videos, texts, clip_scorer=scorer,
-                             aesthetic_head=head)
+                             aesthetic_head=head, meta=meta)
     report["num_samples"] = len(videos)
 
     # paired orig/recn files → reconstruction metrics (vae inference output)

@@ -227,3 +227,93 @@ def test_temporal_flickering_official_formula():
     mae = np.abs(moving[:, 1:].astype(np.float64)
                  - moving[:, :-1].astype(np.float64)).mean() * 127.5
     np.testing.assert_allclose(score, 1.0 - mae / 255.0, rtol=1e-12)
+
+
+# ---- detection-suite proxies (CLIP zero-shot voting, stub scorer) ----
+
+
+class _StubScorer:
+    """Deterministic CLIP stand-in: every text maps to a fixed random unit
+    vector (seeded by the text); frames of a video embed as the vector of
+    the concept the test declares the video to 'show'. Distinct random
+    unit vectors at d=256 are near-orthogonal, so argmax votes are exact."""
+
+    D = 256
+
+    def __init__(self, shows: str):
+        self._shows = shows
+
+    def embed_text(self, text: str) -> np.ndarray:
+        import hashlib
+
+        digest = hashlib.sha256(text.strip().lower().encode()).digest()
+        seed = int.from_bytes(digest[:4], "little")
+        v = np.random.default_rng(seed).standard_normal(self.D)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    def embed_frames(self, video, max_frames: int = 8) -> np.ndarray:
+        n = min(max_frames, video.shape[1])
+        return np.stack([self.embed_text(self._shows)] * n)
+
+    def __call__(self, video, text: str) -> float:
+        emb = self.embed_frames(video)
+        return float(emb.mean(axis=0) @ self.embed_text(text))
+
+
+def test_detection_suite_extraction_templates():
+    from opensora_tpu.eval import vbench as V
+
+    assert V.extract_object_class("A photo of a dog") == "dog"
+    assert V.extract_object_class("a video of an elephant.") == "elephant"
+    # the two-object template belongs to multiple_objects, not object_class
+    assert V.extract_object_class("a photo of a cat and a dog") is None
+    assert V.extract_object_class("a dog runs through a field") is None
+    assert V.extract_multiple_objects("a photo of a cat and a dog") == ("cat", "dog")
+    assert V.extract_color_object("a red car") == ("red", "car")
+    assert V.extract_color_object("a big car") is None
+    assert V.extract_human_action("A person is playing guitar") == "playing guitar"
+    assert V.extract_human_action("someone is running") is None
+    assert V.extract_spatial_relationship("a cat on the left of a dog") == (
+        "cat", "left", "dog"
+    )
+    assert V.extract_spatial_relationship("a cup is on the top of a table") == (
+        "cup", "top", "table"
+    )
+
+
+def test_detection_suite_zero_shot_votes():
+    from opensora_tpu.eval import vbench as V
+
+    vid = np.zeros((3, 4, 8, 8), np.float32)
+    dog = _StubScorer("a photo of a dog")
+    assert V.object_class(vid, "dog", dog) == 1.0
+    assert V.object_class(vid, "cat", dog) == 0.0
+    # multiple objects: a frame showing only a dog fails the (cat AND dog) vote
+    assert V.multiple_objects(vid, "dog", "cat", dog) == 0.0
+    red_car = _StubScorer("a red car")
+    assert V.color(vid, "red", "car", red_car) == 1.0
+    assert V.color(vid, "blue", "car", red_car) == 0.0
+    beach = _StubScorer("a photo of the beach")
+    assert V.scene(vid, "beach", beach) == 1.0
+    assert V.scene(vid, "forest", beach) == 0.0
+    guitarist = _StubScorer("a person is playing guitar")
+    assert V.human_action(vid, "playing guitar", guitarist) == 1.0
+    assert V.human_action(vid, "swimming", guitarist) == 0.0
+    left = _StubScorer("a cat on the left of a dog")
+    assert V.spatial_relationship(vid, "cat", "left", "dog", left) == 1.0
+    assert V.spatial_relationship(vid, "cat", "right", "dog", left) == 0.0
+
+
+def test_evaluate_videos_detection_dims_and_meta_override():
+    from opensora_tpu.eval import vbench as V
+
+    vids = [np.zeros((3, 4, 8, 8), np.float32)] * 2
+    texts = ["a photo of a dog", "wide shot of rolling waves"]
+    rep = V.evaluate_videos(
+        vids, texts, clip_scorer=_StubScorer("a photo of a dog"),
+        meta=[None, {"scene": "beach"}],
+    )
+    # sample 1 parses as object_class; sample 2's meta names the scene slot
+    assert rep["object_class"] == 1.0
+    assert "scene" in rep
+    assert rep["overall_consistency"] == rep["clip_score"]

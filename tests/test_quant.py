@@ -269,3 +269,47 @@ def test_w8a8_with_int8_attention_quality_bound():
     )
     rel = float(jnp.linalg.norm(out_q - out_fp) / jnp.linalg.norm(out_fp))
     assert rel < 0.025, rel
+
+
+def test_w8a8_fusedquant_kernel_matches_xla_path():
+    """Fused-quant kernel (bf16 in, quantize IN VMEM) == the XLA w8a8
+    recipe (abs-max row scale -> round/clip int8 -> int32 dot -> rescale),
+    interpret mode, including a non-block-aligned M tail. The kernel
+    multiplies by a precomputed reciprocal where the XLA path divides, so
+    at most 1-LSB int8 disagreements at rounding boundaries — bounded by a
+    tight relative tolerance rather than exactness."""
+    from opensora_tpu.ops.int8_matmul import w8a8_fusedquant_matmul
+
+    rng = np.random.default_rng(6)
+    M, K, N = 300, 1024, 512
+    x = jnp.asarray(rng.normal(size=(M, K)) * 0.3, jnp.float32)
+    w8 = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    sw = jnp.asarray(rng.random((N,)) * 0.01 + 0.001, jnp.float32)
+    out = w8a8_fusedquant_matmul(
+        x, w8, sw, block_m=256, block_n=256, block_k=512, interpret=True,
+        out_dtype=jnp.float32,
+    )
+    sa = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, 1e-8)
+    x8 = jnp.clip(jnp.round(x / sa), -127, 127).astype(jnp.int8)
+    ref = (x8.astype(jnp.int32) @ w8.astype(jnp.int32)).astype(jnp.float32) * sa * sw
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 5e-3 and not bool(jnp.isnan(out).any()), rel
+
+
+def test_w8a8_fq_dense_mode_large_rows():
+    """mode="w8a8_fq" through the actual fused kernel (>=1024 rows; small
+    rows fall back to the XLA path like w8a8_pallas)."""
+    from opensora_tpu.ops.quant import QuantDense, quantize_kernel
+
+    rng = np.random.default_rng(7)
+    w = rng.normal(size=(512, 128)).astype(np.float32) * 0.2
+    q, s = quantize_kernel(w)
+    params = {"params": {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(s)}}
+    for rows in (7, 1024):  # XLA fallback and kernel branches
+        x = jnp.asarray(rng.normal(size=(1, rows, 512)).astype(np.float32))
+        ref = x @ w
+        y = QuantDense(128, use_bias=False, dtype=jnp.float32, mode="w8a8_fq").apply(
+            params, x
+        )
+        rel = float(jnp.abs(y - ref).max() / jnp.abs(ref).max())
+        assert rel < 0.03, (rows, rel)
