@@ -38,6 +38,12 @@ NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # 1/ln(2)
 LN2 = 0.6931471805599453
 
+# Fixed-anchor fast path dispatches only when the Cauchy-Schwarz bound on
+# |scaled logits| is below this (log2 domain). Worst-case row gap is then
+# 2*40 = 80 log2 units — comfortably inside fp32/bf16 normal range
+# (2^-126), so exp2(s*c - A) can neither overflow nor fully underflow.
+ANCHOR_MAX_LOG2 = 40.0
+
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 
@@ -82,7 +88,16 @@ def _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block,
     """Apply tail-padding + frame-causal masks to a (bq, bk) score tile.
 
     ``mask_val``: pass NEG_INF / sm_scale when masking PRE-scale scores so
-    the post-scale value is exactly NEG_INF (see _fwd_kernel)."""
+    the post-scale value is exactly NEG_INF (see _fwd_kernel).
+
+    The masking runs unconditionally on every tile. Two cheaper schemes
+    were tried and rejected on-chip (round 4): (a) an in-kernel lax.cond
+    that masks only the tail tile triples the score tile's scoped-VMEM
+    footprint (operand + both branch buffers = 18.3M > the 16M limit at
+    the serving block sizes 1024x1536); (b) a closed-form
+    pad*exp2(-anchor) denominator correction cancels catastrophically in
+    fp32 when a row's real logits all sit far below the zero-scoring
+    pads."""
     bq, bk = s.shape
     need_tail = kv_len % block_k != 0
     if need_tail or causal_block is not None:
@@ -163,6 +178,79 @@ def _fwd_kernel(
         ).astype(lse_ref.dtype)
 
 
+def _fwd_kernel_anchored(
+    a2_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+    l_scr, acc_scr,
+    *, sm_scale, block_q, block_k, q_len, kv_len,
+):
+    """Fixed-anchor forward: softmax anchored at a precomputed upper bound
+    on the scaled logits instead of a running max.
+
+    With QK-RMSNormed inputs the Cauchy-Schwarz bound
+    ``A = sm_scale * max_row(|q|) * max_row(|k|)`` is small (~16-25 in the
+    log2 domain), so ``exp2(s*c - A)`` never overflows and — dispatched only
+    when A < ANCHOR_MAX_LOG2 — never fully underflows either (worst-case
+    row gap is 2A < 80 log2 units, inside fp32 normal range). This kills
+    the per-tile max reduction, the m scratch, and both rescaling
+    multiplies: per-logit work is exactly FMA + exp2 + sum + cast. Exact
+    (not approximate): softmax is anchor-invariant.
+
+    Bidirectional only. KV tail padding is masked to exactly p=0 with an
+    unconditional per-tile select — NOT via a closed-form pad*exp2(-A)
+    subtraction from the denominator (catastrophic cancellation) and NOT
+    via a tail-tile-only lax.cond (3x scoped-VMEM on the score tile; see
+    _mask_scores docstring for both on-chip rulings).
+    """
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    if kv_len % block_k != 0:
+        # p for pad columns is masked to exactly 0 below (garbage K rows
+        # only ever reach pad columns, so K needs no zeroing), but
+        # 0 * NaN = NaN in the PV contraction, so garbage V tail rows must
+        # be zeroed in the data.
+        v = _zero_tail_rows(v, ki, block_k, kv_len)
+
+    # Per-(b,h) log2-domain anchor, >= all s*c by Cauchy-Schwarz. Shaped
+    # (B, H, 1, 1) with a (1,1,1,1) block: trailing dims span the array,
+    # so Mosaic's (8,128)-divisible-or-full rule is satisfied (the
+    # (B,H)-shaped variant with a (1,1) block is NOT lowerable — same
+    # class as the int8 K-scale bug caught on-chip this round).
+    a2 = a2_ref[0, 0, 0, 0]
+    c = sm_scale * LOG2E
+    s = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp2(s * c - a2)
+    if kv_len % block_k != 0:
+        col = ki * block_k + lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        p = jnp.where(col < kv_len, p, 0.0)
+    l_scr[...] += jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+    )
+    acc_scr[...] += lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0, :, 0] = (a2 * LN2 + jnp.log(l_safe[:, 0])).astype(
+            lse_ref.dtype
+        )
+
+
 def _flash_forward(
     q, k, v, *, sm_scale, block_q, block_k, causal_block, debug=False, interpret=False
 ):
@@ -174,41 +262,97 @@ def _flash_forward(
     nk = pl.cdiv(kv_len, block_k)
 
     grid = (batch, heads, nq, nk)
-    out, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel,
-            sm_scale=sm_scale,
-            block_q=block_q,
-            block_k=block_k,
-            q_len=q_len,
-            kv_len=kv_len,
-            causal_block=causal_block,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((batch, heads, q_len, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, dim), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        debug=debug,
-        interpret=interpret,
-    )(q, k, v)
+    qkv_specs = [
+        pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((batch, heads, q_len, 1), jnp.float32),
+    ]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    )
+
+    def _run_standard(q, k, v):
+        return pl.pallas_call(
+            functools.partial(
+                _fwd_kernel,
+                sm_scale=sm_scale,
+                block_q=block_q,
+                block_k=block_k,
+                q_len=q_len,
+                kv_len=kv_len,
+                causal_block=causal_block,
+            ),
+            grid=grid,
+            in_specs=qkv_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, dim), jnp.float32),
+            ],
+            compiler_params=compiler_params,
+            debug=debug,
+            interpret=interpret,
+        )(q, k, v)
+
+    if causal_block is not None:
+        out, lse = _run_standard(q, k, v)
+        return out, lse[..., 0]
+
+    # Bidirectional (MMDiT) case: runtime-dispatch the fixed-anchor fast
+    # path when the Cauchy-Schwarz logit bound is small (always true for
+    # QK-RMSNormed streams; see _fwd_kernel_anchored). The bound costs one
+    # extra read of q and k (~2% of kernel time at serving lengths); the
+    # anchored kernel removes the per-tile max reduction and rescaling.
+    def _run_anchored(ops):
+        a2v, q, k, v = ops
+        return pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_anchored,
+                sm_scale=sm_scale,
+                block_q=block_q,
+                block_k=block_k,
+                q_len=q_len,
+                kv_len=kv_len,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1), lambda b, h, qi, ki: (b, h, 0, 0)),
+                *qkv_specs,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, dim), jnp.float32),
+            ],
+            compiler_params=compiler_params,
+            debug=debug,
+            interpret=interpret,
+        )(a2v, q, k, v)
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qn = jnp.max(jnp.sqrt(jnp.sum(qf * qf, axis=-1)), axis=-1)  # (B, H)
+    kn = jnp.max(jnp.sqrt(jnp.sum(kf * kf, axis=-1)), axis=-1)  # (B, H)
+    a2 = (sm_scale * LOG2E) * qn * kn
+    # NaN-safe dispatch: NaN < bound is False, so poisoned inputs fall to
+    # the running-max kernel rather than silently anchoring at NaN.
+    out, lse = lax.cond(
+        jnp.max(a2) < ANCHOR_MAX_LOG2,
+        _run_anchored,
+        lambda ops: _run_standard(*ops[1:]),
+        (a2.reshape(batch, heads, 1, 1), q, k, v),
+    )
     return out, lse[..., 0]
 
 

@@ -67,6 +67,38 @@ def test_tail_block_no_nan():
         assert not bool(jnp.isnan(x).any())
 
 
+def test_anchored_fast_path_and_fallback():
+    """The bidirectional forward runtime-dispatches a fixed-anchor kernel
+    when the Cauchy-Schwarz logit bound is small (unit-normal inputs: ~21
+    log2 units, well under ANCHOR_MAX_LOG2=40) and falls back to the
+    running-max kernel when it is not. Both must match the XLA reference;
+    the fallback case uses 50x-scaled Q so the bound (~1000) forces the
+    standard branch while a stable reference softmax still succeeds."""
+    B, H, L, D = 1, 2, 256, 128
+    q, k, v = (_rand((B, H, L, D), s) for s in range(3))
+
+    out_anchored = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    assert jnp.abs(out_anchored - xla_attention(q, k, v)).max() < 5e-3
+
+    qb = q * 50.0
+    out_fallback = flash_attention(qb, k, v, block_q=128, block_k=128, interpret=True)
+    assert jnp.abs(out_fallback - xla_attention(qb, k, v)).max() < 5e-3
+    assert not bool(jnp.isnan(out_fallback).any())
+
+
+def test_anchored_block_multiple_length():
+    """No-tail geometry through the anchored kernel (the tail-mask cond is
+    compiled out entirely when kv_len % block_k == 0)."""
+    B, H, L, D = 1, 1, 384, 128
+    q, k, v = (_rand((B, H, L, D), s) for s in range(3))
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    ref = xla_attention(q, k, v)
+    assert jnp.abs(out - ref).max() < 5e-3
+    _, lse = flash_attention_with_lse(q, k, v, block_q=128, block_k=128, interpret=True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(D))
+    assert jnp.abs(lse - jax.scipy.special.logsumexp(s, axis=-1)).max() < 1e-3
+
+
 def test_odd_length_above_dispatch_threshold():
     """Lengths ≥128 that are not multiples of 8 must run through the kernel
     (regression: an over-conservative dispatcher gate once fell back to the
