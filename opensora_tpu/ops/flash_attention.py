@@ -56,7 +56,14 @@ def pick_blocks(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
     VAE mid-block's head_dim 512 the (1024, 1536) tile set overflows the
     16 MB scoped VMEM budget (observed: 16.87M at L=13056), so wide heads
     stay at 768. block_k=2048 hangs the Mosaic compiler >1h — never use
-    it. Shorter sequences shrink blocks so the grid still has parallelism."""
+    it. Shorter sequences shrink blocks so the grid still has parallelism.
+
+    When a candidate block_k EXACTLY divides kv_len, the kernels' per-tile
+    tail-mask select disappears (``need_tail`` is False) — worth 1.5% to
+    the bf16 anchored kernel and 10% to the VPU-bound int8-qk8 kernel at
+    the 768px serving length 76544 = 46 * 1664 (round-4 on-chip sweep,
+    NOTES_r4.md). Checked at dim <= 128 only: 1664 adds ~8% VMEM over
+    1536, unverified against the wide-head budget."""
     if q_len >= 8192:
         bq = 1024 if dim <= 128 else 768
     elif q_len >= 1024:
@@ -65,6 +72,8 @@ def pick_blocks(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
         bq = 256
     if kv_len >= 2560:
         bk = 1536
+        if dim <= 128 and kv_len % 1536 != 0 and kv_len % 1664 == 0:
+            bk = 1664  # the only alternative measured; don't guess others
     elif kv_len >= 2048:
         bk = 1024
     else:

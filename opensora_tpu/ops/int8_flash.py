@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from opensora_tpu.ops.flash_attention import (
+    ANCHOR_MAX_LOG2,
     LOG2E,
     NEG_INF,
     _mask_scores,
@@ -140,6 +141,81 @@ def _int8_fwd_kernel(
         o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
 
 
+def _int8_fwd_kernel_anchored(
+    a2_ref, q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref, o_ref,
+    l_scr, acc_scr,
+    *, sm_scale, block_q, block_k, q_len, kv_len, pv_int8,
+):
+    """Fixed-anchor int8 forward: the running-max bookkeeping of
+    _int8_fwd_kernel (per-tile max, m scratch, two rescaling multiplies)
+    is replaced by one precomputed per-(B,H) anchor, exactly as in the
+    bf16 _fwd_kernel_anchored (ops/flash_attention.py, round 4; 1.29x
+    there). The anchor is the Cauchy-Schwarz bound on the CENTERED-K
+    logits; int8 quantization noise can push a dequantized logit a hair
+    past the bound, which is harmless — softmax is anchor-invariant, and
+    correctness only needs (s - A) inside fp32 exponent range, with 2A <
+    80 log2 units of slack. Dispatched only when max(A) < ANCHOR_MAX_LOG2
+    (always true for QK-RMSNormed MMDiT streams).
+
+    qk8 mode (pv_int8=False) sheds ALL per-logit work beyond
+    dequant-FMA + exp2 + sum + cast; pv_int8 mode still pays the per-tile
+    row-max for P's quantization grid (the anchor bound can be loose by
+    several log2 units, so a fixed p-scale of 1.0 would crush whole tiles
+    to zero — the grid must span the TILE's range, same ruling as the
+    running-max kernel) but sheds the m scratch and both corrections.
+    """
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q8 = q_ref[0, 0]
+    k8 = k_ref[0, 0]
+    v8 = v_ref[0, 0]
+    sq = sq_ref[0, 0]
+    sk = sk_ref[0, 0, ki, 0]
+    sv = sv_ref[0, 0]
+    a2 = a2_ref[0, 0, 0, 0]
+    if not pv_int8 and kv_len % block_k != 0:
+        # bf16 V tail garbage can be NaN and 0 * NaN = NaN in the PV
+        # contraction; int8 pad columns of p are exactly 0 against int8 V.
+        v8 = _zero_tail_rows(v8, ki, block_k, kv_len)
+
+    s32 = lax.dot_general(
+        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    p = jnp.exp2(s32.astype(jnp.float32) * (sq * sk) - a2)
+    if kv_len % block_k != 0:
+        col = ki * block_k + lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        p = jnp.where(col < kv_len, p, 0.0)
+    l_scr[...] += jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+    )
+
+    if pv_int8:
+        p_scale = jnp.maximum(jnp.max(p, axis=-1, keepdims=True), 1e-8)
+        p8 = jnp.round(p * (127.0 / p_scale)).astype(jnp.int8)
+        pv32 = lax.dot_general(
+            p8, v8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        pv = pv32.astype(jnp.float32) * (p_scale * (1.0 / 127.0)) * sv
+    else:
+        pv = lax.dot_general(
+            p.astype(v8.dtype), v8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_scr[...] += pv
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
 def _quantize_rows(x, axis=-1):
     """(x8, scale): per-row symmetric int8 with f32 scales."""
     xf = x.astype(jnp.float32)
@@ -212,39 +288,73 @@ def int8_flash_attention(
         sv = jnp.ones((batch, heads, 1, dim), jnp.float32)
 
     grid = (batch, heads, pl.cdiv(q_len, block_q), pl.cdiv(kv_len, block_k))
-    out = pl.pallas_call(
-        functools.partial(
-            _int8_fwd_kernel,
-            sm_scale=sm_scale,
-            block_q=block_q,
-            block_k=block_k,
-            q_len=q_len,
-            kv_len=kv_len,
-            pv_int8=pv_int8,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, nk, 1), lambda b, h, qi, ki: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, dim), lambda b, h, qi, ki: (b, h, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, dim), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(q8, k8, v_in, sq, sk_tile, sv)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, dim), lambda b, h, qi, ki: (b, h, ki, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, nk, 1), lambda b, h, qi, ki: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, 1, dim), lambda b, h, qi, ki: (b, h, 0, 0)),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, block_q, dim), lambda b, h, qi, ki: (b, h, qi, 0)
+    )
+    common = dict(
+        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        q_len=q_len, kv_len=kv_len, pv_int8=pv_int8,
+    )
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    )
+
+    def _run_standard(ops):
+        return pl.pallas_call(
+            functools.partial(_int8_fwd_kernel, **common),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, dim), jnp.float32),
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(*ops[1:])
+
+    def _run_anchored(ops):
+        return pl.pallas_call(
+            functools.partial(_int8_fwd_kernel_anchored, **common),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1), lambda b, h, qi, ki: (b, h, 0, 0)),
+                *in_specs,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, dim), jnp.float32),
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(*ops)
+
+    # Fixed-anchor dispatch (see _int8_fwd_kernel_anchored): the bound is
+    # on the CENTERED-K logits the kernel actually computes. NaN-safe —
+    # NaN < bound is False, so poisoned inputs take the running-max path.
+    qn = jnp.max(
+        jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)), axis=-1
+    )
+    kn = jnp.max(jnp.sqrt(jnp.sum(jnp.square(kf), axis=-1)), axis=-1)
+    a2 = (sm_scale * LOG2E) * qn * kn
+    out = lax.cond(
+        jnp.max(a2) < ANCHOR_MAX_LOG2,
+        _run_anchored,
+        _run_standard,
+        (a2.reshape(batch, heads, 1, 1), q8, k8, v_in, sq, sk_tile, sv),
+    )
     if v_mean is not None:
         out = (out.astype(jnp.float32) + v_mean).astype(q.dtype)
     return out

@@ -28,19 +28,33 @@ def _setup():
     return jax
 
 
-def _bench(jax, fn, *args, flops, n2=22):
+def _bench(jax, fn, *args, flops, n2=22, chain=False):
     import jax.numpy as jnp
 
     f = jax.jit(fn)
     jax.device_get(jnp.sum(f(*args).astype(jnp.float32)))
 
-    def timed(n):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = f(*args)
-        jax.device_get(jnp.sum(o.astype(jnp.float32)))
-        return time.perf_counter() - t0
+    if chain:
+        # Dependency-chained repeats: the output feeds the next call's
+        # first arg (requires matching shape/dtype, true for attention).
+        # Identical repeated executions can short-circuit through the
+        # axon tunnel (NOTES_r4: a stashed re-run "measured" 36,000
+        # TFLOP/s) — chaining forces real sequential execution.
+        def timed(n):
+            o = args[0]
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = f(o, *args[1:])
+            jax.device_get(o[(0,) * (o.ndim - 1)])
+            return time.perf_counter() - t0
+    else:
+        def timed(n):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n):
+                o = f(*args)
+            jax.device_get(jnp.sum(o.astype(jnp.float32)))
+            return time.perf_counter() - t0
 
     timed(1)
     a, b = timed(2), timed(n2)
@@ -203,7 +217,8 @@ def suite_int8_flash():
     q, k, v = (jax.random.normal(kk, (B, H, L, D), jnp.bfloat16) for kk in ks)
     fl = 4.0 * B * H * L * L * D
 
-    dt, tf = _bench(jax, lambda q, k, v: flash_attention(q, k, v), q, k, v, flops=fl)
+    dt, tf = _bench(jax, lambda q, k, v: flash_attention(q, k, v), q, k, v,
+                    flops=fl, chain=True)
     print(f"bf16 flash: {dt * 1e3:.1f} ms {tf:.1f} TFLOP/s", flush=True)
     for pv_int8 in (True, False):
         for bq, bk in [(768, 1536), (1024, 1536), (512, 1024)]:
@@ -212,7 +227,7 @@ def suite_int8_flash():
                 lambda q, k, v, bq=bq, bk=bk, p=pv_int8: int8_flash_attention(
                     q, k, v, block_q=bq, block_k=bk, pv_int8=p
                 ),
-                q, k, v, flops=fl,
+                q, k, v, flops=fl, chain=True,
             )
             tag = "full" if pv_int8 else "qk8"
             print(f"int8 {tag} ({bq},{bk}): {dt * 1e3:.1f} ms {tf:.1f} TFLOP/s-equiv",
@@ -250,13 +265,13 @@ def suite_flash768():
     fl = 4.0 * B * H * L * L * D
 
     dt, tf = _bench(jax, lambda q, k, v: flash_attention(q, k, v), q, k, v,
-                    flops=fl, n2=6)
+                    flops=fl, n2=6, chain=True)
     print(f"bf16 flash 768px: {dt * 1e3:.1f} ms {tf:.1f} TFLOP/s", flush=True)
     for pv_int8, tag in ((False, "qk8"), (True, "full")):
         dt, tf = _bench(
             jax,
             lambda q, k, v, p=pv_int8: int8_flash_attention(q, k, v, pv_int8=p),
-            q, k, v, flops=fl, n2=6,
+            q, k, v, flops=fl, n2=6, chain=True,
         )
         print(f"int8 {tag} 768px: {dt * 1e3:.1f} ms {tf:.1f} TFLOP/s-equiv",
               flush=True)

@@ -101,6 +101,39 @@ def test_bf16_inputs_and_dtype():
     assert _rel_l2(out.astype(jnp.float32), ref) < FULL_TOL
 
 
+def test_anchored_fallback_large_magnitude():
+    """N(0,1) inputs take the fixed-anchor kernel (Cauchy-Schwarz bound
+    ~16 log2 units < ANCHOR_MAX_LOG2); scaling q and k by 4 pushes the
+    bound to ~260, so the lax.cond must fall back to the running-max
+    kernel — both paths within their bounds, and the tail-masking logic
+    of BOTH kernels is exercised at a non-multiple-of-block length."""
+    from opensora_tpu.ops.flash_attention import ANCHOR_MAX_LOG2, LOG2E
+
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    B, H, L, D = 1, 2, 300, 128
+    q, k, v = (jax.random.normal(kk, (B, H, L, D), jnp.float32) for kk in ks)
+
+    km = k - k.mean(axis=2, keepdims=True)
+    bound = (
+        (1.0 / np.sqrt(D)) * LOG2E
+        * jnp.max(jnp.linalg.norm(q, axis=-1))
+        * jnp.max(jnp.linalg.norm(km, axis=-1))
+    )
+    assert float(bound) < ANCHOR_MAX_LOG2          # anchored path
+    assert float(bound) * 16.0 > ANCHOR_MAX_LOG2   # scaled -> fallback
+
+    e_full, e_qk8 = _errs(q * 4.0, k * 4.0, v, block_q=128, block_k=128)
+    # 16x-scaled logits are a fundamentally harder regime for ANY int8-QK
+    # scheme (old and new kernel alike): softmax is exponentially
+    # sensitive to ABSOLUTE logit error, which scales with the logits.
+    # Measured 5.0% both modes (P-quant is negligible next to it, so
+    # qk8 ~ full here); bound at the file's 1.4x calibration. Real
+    # QK-RMSNormed streams never reach this regime — it exists to pin the
+    # fallback dispatch, not to claim serving quality at huge logits.
+    assert e_full < 0.07, e_full
+    assert e_qk8 < 0.07, e_qk8
+
+
 def test_attention_dispatch_int8_backends():
     """The model-facing attention() entry point routes the int8 backends
     (config surface: MMDiTConfig.attn_backend='int8_qk8',
