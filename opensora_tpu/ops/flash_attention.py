@@ -81,6 +81,27 @@ def pick_blocks(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
     return min(bq, q_len), min(bk, kv_len)
 
 
+def pick_blocks_bwd(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
+    """Backward-grid block heuristic, measured separately from the forward
+    (round-5 on-chip sweep, ``scripts/microbench.py flashbwd``): the bwd
+    kernels favor bq=768 at dim 128 — (768, 1536) beats the fwd
+    heuristic's (512, 1536) by 1.28x at the train shape L=2816 (2.9 vs
+    3.7 ms) and is best-in-sweep at L=9340 (34.6 ms, vs 35.0 for the fwd
+    pick (1024, 1536)). Wide heads keep the fwd heuristic: its VMEM
+    reasoning applies unchanged and the bwd was never measured there."""
+    if dim > 128:
+        return pick_blocks(q_len, kv_len, dim)
+    bq = 768 if q_len >= 1024 else 256
+    if kv_len >= 2560:
+        bk = 1536
+        if kv_len % 1536 != 0 and kv_len % 1664 == 0:
+            bk = 1664  # exact division kills the per-tile tail selects
+    elif kv_len >= 2048:
+        bk = 1024
+    else:
+        bk = 512
+    return min(bq, q_len), min(bk, kv_len)
+
 
 def _zero_tail_rows(x, blk_idx, block, valid_len):
     """Zero rows of a loaded tile that lie beyond ``valid_len``.
@@ -397,14 +418,19 @@ def _dkv_kernel(
         k = _zero_tail_rows(k, ki, block_k, kv_len)
         v = _zero_tail_rows(v, ki, block_k, kv_len)
 
-    # exp2-domain recompute (see _fwd_kernel): one FMA + exp2 per logit
+    # LSE-anchored exp2-domain recompute (see _fwd_kernel): the global LSE
+    # from the forward IS the anchor, so p costs exactly one FMA + exp2 per
+    # logit — mask pre-scale (like the forward) so the scale multiply fuses
+    # into the FMA, and per-tile selects vanish entirely on exact-division
+    # shapes (the 768px serving length with bk=1664).
     c = sm_scale * LOG2E
     s = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * c
-    s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block)
+    )
+    s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block,
+                     mask_val=NEG_INF / c)
     lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse) * LOG2E
-    p = jnp.exp2(s - lse_safe[:, None])  # (bq, bk)
+    p = jnp.exp2(s * c - lse_safe[:, None])  # (bq, bk)
     if q_len % block_q != 0:
         p = _zero_tail_rows(p, qi, block_q, q_len)
 
@@ -417,7 +443,9 @@ def _dkv_kernel(
     dp = lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta[:, None]) * sm_scale
+    # sm_scale is a scalar: hoist it out of the per-logit ds (bq*bk mul)
+    # into the per-output finalize (bk*dim mul, once per (b,h,ki))
+    ds = p * (dp - delta[:, None])
     # dk += ds^T @ q
     dk_scr[...] += lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -426,7 +454,7 @@ def _dkv_kernel(
 
     @pl.when(qi == nq - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_scr[...] * sm_scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
@@ -457,19 +485,22 @@ def _dq_kernel(
         k = _zero_tail_rows(k, ki, block_k, kv_len)
         v = _zero_tail_rows(v, ki, block_k, kv_len)
 
+    # LSE-anchored exp2 recompute + pre-scale masking + hoisted sm_scale,
+    # mirroring _dkv_kernel (see its comments)
     c = sm_scale * LOG2E
     s = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * c
-    s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block)
+    )
+    s = _mask_scores(s, qi, ki, block_q, block_k, q_len, kv_len, causal_block,
+                     mask_val=NEG_INF / c)
     lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse) * LOG2E
-    p = jnp.exp2(s - lse_safe[:, None])
+    p = jnp.exp2(s * c - lse_safe[:, None])
     if q_len % block_q != 0:
         p = _zero_tail_rows(p, qi, block_q, q_len)
     dp = lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - delta[:, None]) * sm_scale
+    ds = p * (dp - delta[:, None])
     dq_scr[...] += lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -477,7 +508,7 @@ def _dq_kernel(
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
 
 
 def partial_flash_backward(
@@ -491,7 +522,7 @@ def partial_flash_backward(
     (reference bwd ring, distributed.py:316-373)."""
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2], q.shape[-1])
+    auto_bq, auto_bk = pick_blocks_bwd(q.shape[2], k.shape[2], q.shape[-1])
     return _flash_backward_impl(
         q, k, v, lse, do, delta,
         sm_scale=sm_scale, block_q=block_q or auto_bq,
@@ -596,18 +627,25 @@ def _flash_backward_impl(
 def _flash_attention(
     q, k, v, sm_scale, block_q, block_k, causal_block, interpret
 ):
+    # block_q/block_k may be None (auto): the fwd and bwd grids want
+    # DIFFERENT blocks (pick_blocks vs pick_blocks_bwd), so auto resolution
+    # happens per-rule rather than at the API boundary.
+    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2], q.shape[-1])
     out, _ = _flash_forward(
         q, k, v,
-        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        sm_scale=sm_scale, block_q=block_q or auto_bq,
+        block_k=block_k or auto_bk,
         causal_block=causal_block, interpret=interpret,
     )
     return out
 
 
 def _flash_fwd_rule(q, k, v, sm_scale, block_q, block_k, causal_block, interpret):
+    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2], q.shape[-1])
     out, lse = _flash_forward(
         q, k, v,
-        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        sm_scale=sm_scale, block_q=block_q or auto_bq,
+        block_k=block_k or auto_bk,
         causal_block=causal_block, interpret=interpret,
     )
     return out, (q, k, v, out, lse)
@@ -615,9 +653,11 @@ def _flash_fwd_rule(q, k, v, sm_scale, block_q, block_k, causal_block, interpret
 
 def _flash_bwd_rule(sm_scale, block_q, block_k, causal_block, interpret, res, g):
     q, k, v, out, lse = res
+    auto_bq, auto_bk = pick_blocks_bwd(q.shape[2], k.shape[2], q.shape[-1])
     dq, dk, dv = _flash_backward(
         q, k, v, out, lse, g,
-        sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+        sm_scale=sm_scale, block_q=block_q or auto_bq,
+        block_k=block_k or auto_bk,
         causal_block=causal_block, interpret=interpret,
     )
     return dq, dk, dv
@@ -645,10 +685,11 @@ def flash_attention(
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    auto_bq, auto_bk = pick_blocks(q.shape[2], k.shape[2], q.shape[-1])
+    # None = auto, resolved per-rule: pick_blocks for the fwd grid,
+    # pick_blocks_bwd for the bwd grid (they measure differently; see
+    # pick_blocks_bwd). Explicit block args pin BOTH grids.
     return _flash_attention(
-        q, k, v, sm_scale, block_q or auto_bq, block_k or auto_bk,
-        causal_block, interpret,
+        q, k, v, sm_scale, block_q, block_k, causal_block, interpret,
     )
 
 

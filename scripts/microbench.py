@@ -277,6 +277,62 @@ def suite_flash768():
               flush=True)
 
 
+def suite_flashbwd():
+    """Backward flash kernels (dkv + dq) block sweep — the bwd analogue of
+    the round-4 forward sweep. Run after the round-5 per-logit rewrite
+    (LSE-anchored exp2 FMA + pre-scale masking + hoisted sm_scale) to pick
+    bwd-specific blocks. FLOPs convention: the two bwd kernels execute 7
+    tile matmuls per (bq, bk) pair = 14·L²·D·B·H — actual MXU work
+    including the s/dp recomputes, so the TFLOP/s is hardware utilization,
+    not "useful-flops"."""
+    jax = _setup()
+    import jax.numpy as jnp
+
+    from opensora_tpu.ops.flash_attention import (
+        _flash_backward_impl,
+        flash_attention_with_lse,
+        pick_blocks,
+    )
+
+    # train shape (33f 256px: 2304 img + 512 txt) and serving 129f shape
+    shapes = [(3, 24, 2816, 128), (3, 24, 9340, 128)]
+    if len(sys.argv) > 2 and sys.argv[2] == "768":
+        shapes = [(1, 24, 76544, 128)]
+    for B, H, L, D in shapes:
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        q, k, v, do = (
+            jax.random.normal(kk, (B, H, L, D), jnp.bfloat16) for kk in ks
+        )
+        out, lse = jax.jit(flash_attention_with_lse)(q, k, v)
+        delta = jnp.sum(
+            do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+        )
+        fl = 14.0 * B * H * float(L) * L * D
+        cands = [(256, 512), (512, 512), (512, 1024), (512, 1536),
+                 (768, 1536), (1024, 1536)]
+        if L % 1664 == 0:
+            cands += [(512, 1664), (1024, 1664)]
+        auto = pick_blocks(L, L, D)
+        print(f"bwd sweep @ ({B},{H},{L},{D}); fwd-heuristic blocks {auto}",
+              flush=True)
+        for bq, bk in cands:
+            try:
+                dt, tf = _bench(
+                    jax,
+                    lambda q, k, v, bq=bq, bk=bk: _flash_backward_impl(
+                        q, k, v, lse, do, delta,
+                        sm_scale=D ** -0.5, block_q=bq, block_k=bk,
+                        causal_block=None,
+                    )[0],
+                    q, k, v, flops=fl, n2=6,
+                )
+            except Exception as e:  # noqa: BLE001 — VMEM overflows expected
+                print(f"bwd ({bq},{bk}): FAILED {type(e).__name__}", flush=True)
+                continue
+            print(f"bwd ({bq},{bk}): {dt * 1e3:.1f} ms  {tf:.1f} TFLOP/s",
+                  flush=True)
+
+
 def suite_vaebatch():
     """TiledVAERunner spatial_batch sweep at the 768px/129f latent: does
     stacking same-shape spatial tiles along batch beat per-tile dispatch?
@@ -330,5 +386,6 @@ if __name__ == "__main__":
         "w8a8b": suite_w8a8_breakdown,
         "int8flash": suite_int8_flash,
         "flash768": suite_flash768,
+        "flashbwd": suite_flashbwd,
         "vaebatch": suite_vaebatch,
     }[sys.argv[1]]()
