@@ -68,6 +68,7 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = "pp",
     batch_spec: P = P(),
+    auto_axes: tuple = (),
 ) -> Any:
     """Run ``x_mb`` (a pytree of (n_micro, ...) arrays) through all stages.
 
@@ -83,6 +84,15 @@ def pipeline_apply(
     keeps data parallelism over the microbatch's batch dim on a (data, pp)
     mesh. Returns the (n_micro, ...) output pytree, replicated over
     ``axis``.
+
+    ``auto_axes``: mesh axes left to GSPMD instead of shard_map's manual
+    mode — the PP×TP composition (the reference's HybridParallelPlugin
+    composes tp inside each pipeline stage, utils/train.py:100-128). Pass
+    ``("tp",)`` with stage params tp-sharded on their feature axes: inside
+    the body, GSPMD partitions each stage's matmuls over 'tp' and inserts
+    the row-parallel psums, exactly as in the non-PP path. in_specs/
+    out_specs may only mention manual axes; auto-axis shardings flow
+    through from the argument shardings.
 
     Differentiable: ``jax.grad`` of a loss of the output produces the
     reverse (backward) pipeline over the same mesh axis.
@@ -138,6 +148,11 @@ def pipeline_apply(
         )
         return outs
 
+    kwargs = {}
+    if auto_axes:
+        # manual over every mesh axis EXCEPT auto_axes (axis_names=empty
+        # set means manual over ALL axes — the legacy default)
+        kwargs["axis_names"] = frozenset(mesh.axis_names) - set(auto_axes)
     return shard_map(
         _pipelined,
         mesh=mesh,
@@ -147,6 +162,7 @@ def pipeline_apply(
         ),
         out_specs=jax.tree.map(lambda _: batch_spec, x_mb),
         check_vma=False,
+        **kwargs,
     )(stage_params, x_mb)
 
 

@@ -41,9 +41,37 @@ from opensora_tpu.parallel.pipeline import pipeline_apply, split_scan_params
 BLOCK_STACKS = ("double_blocks", "single_blocks")
 
 
-def pp_param_specs(params: Any, axis: str = "pp") -> Any:
-    """PartitionSpecs: block stacks sharded over ``axis`` on the layer axis,
-    everything else replicated (embedders/final layer run on all stages)."""
+def pp_param_specs(params: Any, axis: str = "pp", tp: bool = False) -> Any:
+    """PartitionSpecs: block stacks sharded over ``axis`` on the layer axis.
+
+    ``tp=False``: everything else replicated (embedders/final layer run on
+    all stages). ``tp=True`` composes the TP rules (parallel/sharding.py —
+    the same col/row feature sharding the GSPMD path uses) INSIDE each
+    stage: a stacked qkv kernel (L, in, out) gets P('pp', None, 'tp'), its
+    bias P('pp', 'tp'); non-stack leaves keep their plain TP specs. This is
+    the PP×TP hybrid of the reference's HybridParallelPlugin
+    (opensora/utils/train.py:100-128, tp_size×pp_size in one config)."""
+    if tp:
+        from opensora_tpu.parallel.sharding import mmdit_param_specs
+
+        base = mmdit_param_specs(params, fsdp=False)
+
+        def stack_spec(spec, leaf):
+            s = list(spec) + [None] * (leaf.ndim - len(spec))
+            s[0] = axis
+            return P(*s)
+
+        return {
+            k: (
+                jax.tree.map(
+                    stack_spec, base[k], v,
+                    is_leaf=lambda x: isinstance(x, P),
+                )
+                if k in BLOCK_STACKS
+                else base[k]
+            )
+            for k, v in params.items()
+        }
     specs = {
         k: jax.tree.map(
             (lambda x: P(axis, *([None] * (x.ndim - 1))))
@@ -56,16 +84,21 @@ def pp_param_specs(params: Any, axis: str = "pp") -> Any:
     return specs
 
 
-def pp_state_shardings(mesh: Mesh, state, axis: str = "pp"):
+def pp_state_shardings(mesh: Mesh, state, axis: str = "pp", tp: bool = None):
     """TrainState shardings for the PP layout (analogue of
     training/diffusion.py::state_shardings): params by pp_param_specs,
     optimizer/EMA leaves matched by tree-path suffix (shape-keyed matching
     mis-shards when an embedder shape collides with a stacked-block leaf),
-    scalars replicated."""
+    scalars replicated. ``tp`` defaults to whether the mesh has a 'tp'
+    axis (the PP×TP hybrid layout)."""
     from opensora_tpu.training.diffusion import TrainState, match_opt_shardings
 
+    if tp is None:
+        tp = "tp" in mesh.shape
     pshard = jax.tree.map(
-        lambda s: NamedSharding(mesh, s), pp_param_specs(state.params, axis)
+        lambda s: NamedSharding(mesh, s),
+        pp_param_specs(state.params, axis, tp=tp),
+        is_leaf=lambda x: isinstance(x, P),
     )
     return TrainState(
         step=NamedSharding(mesh, P()),
@@ -101,6 +134,13 @@ def make_pp_forward(
     batch_spec = (
         P(None, data_axis) if data_axis and data_axis in mesh.shape else P()
     )
+    # any extra mesh axis (e.g. 'tp') is left to GSPMD inside the pipeline
+    # body: with stage params tp-sharded (pp_param_specs(tp=True)), each
+    # stage's matmuls partition over 'tp' with automatic psums — the
+    # reference's tp-inside-pp hybrid (utils/train.py:100-128)
+    auto_axes = tuple(
+        n for n in mesh.axis_names if n not in (axis, data_axis)
+    )
 
     def dbl_stage(p, act):
         # pe rides with the microbatch (it is per-sample state, same for
@@ -135,14 +175,14 @@ def make_pp_forward(
         img_mb, txt_mb, vec_mb, pe_mb = pipeline_apply(
             dbl_stage, dbl_params,
             (mb(img_e), mb(txt_e), mb(vec), pe_mb),
-            mesh=mesh, axis=axis, batch_spec=batch_spec,
+            mesh=mesh, axis=axis, batch_spec=batch_spec, auto_axes=auto_axes,
         )
 
         x_mb = jnp.concatenate([txt_mb, img_mb], axis=2)
         sgl_params = split_scan_params(params["single_blocks"], n_stages)
         x_mb, _, _ = pipeline_apply(
             sgl_stage, sgl_params, (x_mb, vec_mb, pe_mb),
-            mesh=mesh, axis=axis, batch_spec=batch_spec,
+            mesh=mesh, axis=axis, batch_spec=batch_spec, auto_axes=auto_axes,
         )
 
         x = x_mb.reshape(b, *x_mb.shape[2:])
@@ -155,10 +195,17 @@ def make_pp_forward(
     return forward
 
 
-def create_pp_mesh(pp: int, data: int = 1) -> Mesh:
-    """(data, pp) mesh for pipeline training runs."""
+def create_pp_mesh(pp: int, data: int = 1, tp: int = 1) -> Mesh:
+    """(data, pp[, tp]) mesh for pipeline training runs. ``tp > 1`` adds a
+    tensor-parallel axis composed inside each pipeline stage (the hybrid
+    tp×pp layout of reference configs/diffusion/train/stage2.py:6-14)."""
     import numpy as np
 
-    devices = jax.devices()[: data * pp]
-    assert len(devices) == data * pp, "not enough devices"
+    n = data * pp * tp
+    devices = jax.devices()[:n]
+    assert len(devices) == n, "not enough devices"
+    if tp > 1:
+        return Mesh(
+            np.asarray(devices).reshape(data, pp, tp), ("data", "pp", "tp")
+        )
     return Mesh(np.asarray(devices).reshape(data, pp), ("data", "pp"))

@@ -75,9 +75,11 @@ def main():
     logger.info("experiment dir: %s", exp_dir)
 
     # opt-in pipeline parallelism (reference HybridParallelPlugin pp_size,
-    # scripts/diffusion/train.py:442-458): a (data, pp) mesh replaces the
-    # default (data, sp, tp) GSPMD mesh; block stacks shard over 'pp' and the
-    # forward runs the GPipe schedule (training/pp.py). GSPMD is the default.
+    # scripts/diffusion/train.py:442-458): a (data, pp[, tp]) mesh replaces
+    # the default (data, sp, tp) GSPMD mesh; block stacks shard over 'pp'
+    # (features also over 'tp' when tp_size > 1 — the reference's tp×pp
+    # hybrid) and the forward runs the GPipe schedule (training/pp.py).
+    # GSPMD is the default.
     pp_cfg = cfg.get("pipeline")
     if pp_cfg:
         from opensora_tpu.training.pp import (
@@ -87,8 +89,11 @@ def main():
         )
 
         pp_size = pp_cfg["pp_size"]
-        data_size = pp_cfg.get("data_size") or jax.device_count() // pp_size
-        mesh = create_pp_mesh(pp=pp_size, data=data_size)
+        tp_size = pp_cfg.get("tp_size", 1)  # PP×TP hybrid (training/pp.py)
+        data_size = pp_cfg.get("data_size") or jax.device_count() // (
+            pp_size * tp_size
+        )
+        mesh = create_pp_mesh(pp=pp_size, data=data_size, tp=tp_size)
     else:
         mesh = create_mesh(MeshConfig(**cfg.get("mesh", {})))
     set_mesh(mesh)
