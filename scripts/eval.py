@@ -46,7 +46,28 @@ def main():
         help="LAION aesthetic-predictor state dict for aesthetic_quality "
              "(skipped if absent; needs --clip too)",
     )
+    p.add_argument(
+        "--suite", default=None, choices=["vbench"],
+        help="score each dimension over its OWN prompt suite "
+             "(opensora_tpu/eval/suites.py) instead of pooled metrics",
+    )
+    p.add_argument(
+        "--suite-dir", default=None,
+        help="suite directory (default data/vbench_suites; drop "
+             "<dim>.official.txt files there to run the official lists)",
+    )
+    p.add_argument(
+        "--emit-prompts", default=None, metavar="CSV",
+        help="with --suite: write every dimension's prompts to CSV "
+             "(columns text,dimension) for generation runs, then exit",
+    )
     args = p.parse_args()
+    if args.suite and args.emit_prompts:
+        from opensora_tpu.eval.suites import emit_prompts_csv
+
+        n = emit_prompts_csv(args.emit_prompts, suite_dir=args.suite_dir)
+        print(json.dumps({"prompts_written": n, "path": args.emit_prompts}))
+        return
     sample_dir = args.samples
     if not os.path.isdir(sample_dir):
         p.error(f"sample directory not found: {sample_dir!r} (pass --samples)")
@@ -79,8 +100,16 @@ def main():
 
     scorer = try_load_scorer(args.clip)
     head = try_load_head(args.aesthetic)
-    report = evaluate_videos(videos, texts, clip_scorer=scorer,
-                             aesthetic_head=head, meta=meta)
+    if args.suite:
+        from opensora_tpu.eval.suites import evaluate_suite
+
+        report = evaluate_suite(
+            videos, texts, clip_scorer=scorer, aesthetic_head=head,
+            suite_dir=args.suite_dir, meta=meta,
+        )
+    else:
+        report = evaluate_videos(videos, texts, clip_scorer=scorer,
+                                 aesthetic_head=head, meta=meta)
     report["num_samples"] = len(videos)
 
     # paired orig/recn files → reconstruction metrics (vae inference output)
