@@ -100,18 +100,25 @@ def _emit(partial: dict):
 
 
 def _timed(fn, fetch, n1=1, n2=4):
-    """Differential timing: warm+sync, then (t(n2)-t(n1))/(n2-n1)."""
+    """Differential timing: warm+sync, then (t(n2)-t(n1))/(n2-n1).
+
+    ``n1 == n2`` means "too expensive to run twice differentially": warm
+    once, then time n2 runs plainly (dispatch overhead included — fine for
+    multi-second phases where it is noise)."""
     fetch(fn())
     t0 = time.perf_counter()
     out = None
-    for _ in range(n1):
-        out = fn()
-    fetch(out)
+    if n2 > n1:
+        for _ in range(n1):
+            out = fn()
+        fetch(out)
     t1 = time.perf_counter()
     for _ in range(n2):
         out = fn()
     fetch(out)
     t2 = time.perf_counter()
+    if n2 == n1:
+        return max((t2 - t1) / n2, 0.0)
     # differential noise can push sub-ms phases negative; clamp
     return max(((t2 - t1) - (t1 - t0)) / (n2 - n1), 0.0)
 
@@ -220,23 +227,61 @@ def _expand_leaf(pool2, off, n, shape):
     return flat.reshape(shape)
 
 
-# chunking knobs: one jitted dispatch fills <=CHUNK_BYTES / <=CHUNK_LEAVES
-# leaves. Bounds both the XLA buffer-assignment peak (chunk outputs + one
-# window) and the per-chunk compile size; the tunnel pays ONE RPC per
-# chunk instead of one per leaf (the round-4 setup bottleneck).
-_CHUNK_BYTES = 2 << 30
-_CHUNK_LEAVES = 96
+# Flat-stream generation knobs. Small leaves are carved out of a flat
+# pseudo-random stream generated by ONE fixed-size expander executable per
+# (dtype class, size tier) — the expander compiles once EVER (persistent
+# cache; its signature has no per-tree component), and the per-chunk carve
+# programs are pure dynamic_slice+reshape, which compile in seconds. The
+# first chunked design (one fused gen program per ~2 GiB of leaves) paid a
+# ~140 s compile PER CHUNK on this backend cold — 978 s for the 11.15 GiB
+# MMDiT tree, worse than the per-leaf dispatch it replaced.
+_FLAT_TIERS = (1 << 22, 1 << 25, 1 << 28)  # 4Mi / 32Mi / 256Mi entries
+_GIANT_N = _FLAT_TIERS[-1]  # leaves above the top tier take the per-leaf path
+
+
+_EXPAND_JIT = {}
+
+
+def _expander(n):
+    """Fixed-size flat-stream expander (jitted once per tier)."""
+    import jax
+    from functools import partial
+
+    if n not in _EXPAND_JIT:
+        _EXPAND_JIT[n] = jax.jit(
+            partial(_expand_leaf, n=n, shape=(n,)), static_argnames=()
+        )
+    return _EXPAND_JIT[n]
+
+
+_LEAF_JIT = {}
+
+
+def _leaf_gen(pool2, off, n, shape):
+    """Per-leaf jitted expansion for giant leaves (nn.scan-stacked weights
+    reach 2.5G entries). One executable per (n, shape) — few distinct
+    shapes per tree, persistent-cached."""
+    import jax
+    from functools import partial
+
+    key = (n, shape)
+    if key not in _LEAF_JIT:
+        _LEAF_JIT[key] = jax.jit(partial(_expand_leaf, n=n, shape=shape))
+    return _LEAF_JIT[key](pool2, off)
 
 
 def _device_rand_tree(shapes, seed, log, name, scale=0.02):
     """Random weight tree generated ON DEVICE: upload three 1M-entry pools
-    (~12 MiB doubled) and fill leaves in CHUNKED jitted dispatches (each
-    chunk <=2 GiB / <=96 leaves returned as one tuple) with a sync barrier
-    between chunks so finished temporaries free before the host enqueues
-    further allocations. HBM peak = final tree + one leaf's window, never
-    tree + whole-tree temporaries (the round-3 OOM). Chunk functions are
-    deterministic in (leaf shapes, offsets), so the persistent compile
-    cache reuses them across phases and runs.
+    (~12 MiB doubled), expand them into fixed-size flat pseudo-random
+    streams on device (one cached executable per dtype class and size
+    tier), and carve each chunk's leaves out of the stream with one
+    slices+reshapes program per chunk (compiles in seconds; deterministic
+    per tree → persistent-cache hits across phases and runs). Giant
+    leaves (>256Mi entries) use a per-leaf expander executable instead. A
+    sync barrier between chunks frees the flat stream before the host
+    enqueues further allocations, so HBM peak = final tree + one flat
+    stream (≤0.5 GiB) + one chunk's leaves — never tree + whole-tree
+    temporaries (the round-3 OOM).
 
     Replaces the full-tree host upload: the tunneled link moved the
     11.15 GiB MMDiT tree at 0.02 GiB/s = 633 s of setup (round-3 run).
@@ -253,6 +298,7 @@ def _device_rand_tree(shapes, seed, log, name, scale=0.02):
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     t0 = time.perf_counter()
     P = 1 << 20
@@ -269,11 +315,10 @@ def _device_rand_tree(shapes, seed, log, name, scale=0.02):
     }
 
     leaves, treedef = jax.tree.flatten(shapes)
-    # classify every leaf; plan chunks of (index, cls, off, n, shape)
+    # classify every leaf; (index, cls, n, shape, dtype)
     descs = []
     for i, s in enumerate(leaves):
         n = int(np.prod(s.shape)) if s.shape else 1
-        off = (i * 997) % (P >> 1)
         if s.dtype == np.int8:
             cls = "i"
         elif str(s.dtype) == "float32" and s.ndim <= 1:
@@ -282,50 +327,60 @@ def _device_rand_tree(shapes, seed, log, name, scale=0.02):
             cls = "f"
         else:
             cls = None  # zeros, host-side
-        descs.append((i, cls, off, n, tuple(s.shape), s.dtype))
-
-    itemsize = {"f": 2, "i": 1, "s": 4}
-    chunks, cur, cur_bytes = [], [], 0
-    for d in descs:
-        if d[1] is None:
-            continue
-        nbytes_leaf = d[3] * itemsize[d[1]]
-        if cur and (
-            cur_bytes + nbytes_leaf > _CHUNK_BYTES or len(cur) >= _CHUNK_LEAVES
-        ):
-            chunks.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append(d)
-        cur_bytes += nbytes_leaf
-    if cur:
-        chunks.append(cur)
-
-    def make_chunk_fn(chunk):
-        # offsets/shapes are compile-time constants: the chunk signature is
-        # deterministic for a given tree, so the persistent cache hits
-        def fn(pf, pi, ps):
-            by = {"f": pf, "i": pi, "s": ps}
-            return tuple(
-                _expand_leaf(by[cls], off, n, shape)
-                for (_, cls, off, n, shape, _) in chunk
-            )
-
-        return jax.jit(fn)
+        descs.append((i, cls, n, tuple(s.shape), s.dtype))
 
     outs = [None] * len(leaves)
-    for chunk in chunks:
-        got = make_chunk_fn(chunk)(pools["f"], pools["i"], pools["s"])
-        for (i, _, _, _, _, _), arr in zip(chunk, got):
-            outs[i] = arr
-        _sync()  # free the chunk's windows before enqueuing the next
-    for i, cls, off, n, shape, dtype in descs:
+    n_dispatch = 0
+
+    # giant leaves: per-leaf expander (2D fill path inside _expand_leaf)
+    for i, cls, n, shape, _ in descs:
+        if cls is None or n <= _GIANT_N:
+            continue
+        off = (i * 997) % (P >> 1)
+        outs[i] = _leaf_gen(pools[cls], off, n, shape)
+        n_dispatch += 1
+        _sync()  # giant leaves are multi-GiB: free windows before the next
+
+    # small leaves: pack per class into tiers of the flat stream
+    for cls in ("f", "i", "s"):
+        todo = [d for d in descs if d[1] == cls and d[2] <= _GIANT_N]
+        chunk, total = [], 0
+        chunks = []
+        for d in todo:
+            if chunk and total + d[2] > _FLAT_TIERS[-1]:
+                chunks.append((chunk, total))
+                chunk, total = [], 0
+            chunk.append(d)
+            total += d[2]
+        if chunk:
+            chunks.append((chunk, total))
+        for ci, (chunk, total) in enumerate(chunks):
+            tier = next(t for t in _FLAT_TIERS if t >= total)
+            off0 = ((seed * 131 + ci * 997) % (P >> 1))
+            flat = _expander(tier)(pools[cls], off0)
+            offs = np.concatenate([[0], np.cumsum([d[2] for d in chunk])])
+
+            def carve(flat, chunk=chunk, offs=offs):
+                return tuple(
+                    lax.dynamic_slice(flat, (int(o),), (n,)).reshape(shape)
+                    for (_, _, n, shape, _), o in zip(chunk, offs)
+                )
+
+            got = jax.jit(carve)(flat)
+            for (i, _, _, _, _), arr in zip(chunk, got):
+                outs[i] = arr
+            n_dispatch += 2
+            del flat
+            _sync()  # free the flat stream before the next chunk
+
+    for i, cls, n, shape, dtype in descs:
         if cls is None:
             outs[i] = jnp.zeros(shape, dtype)
     nbytes = sum(x.nbytes for x in outs)
     bw = _probe_link_bw(log)["multileaf"]
     swap_s = nbytes / 2**30 / bw
     log(f"{name} on-device gen {nbytes / 2**30:.2f} GiB in "
-        f"{time.perf_counter() - t0:.1f}s ({len(chunks)} chunked dispatches); "
+        f"{time.perf_counter() - t0:.1f}s ({n_dispatch} dispatches); "
         f"swap cost {swap_s:.0f}s analytic at the measured {bw:.3f} GiB/s "
         f"multi-leaf link")
     return jax.tree.unflatten(treedef, outs), swap_s, nbytes
@@ -878,7 +933,7 @@ def _log(msg):
 # chunked-gen speedup; compiles hit the persistent cache after the first
 # full run.
 _PHASE_CAP_S = {
-    "denoise": 1500, "text": 600, "vae": 900, "train": 600, "flow": 1200,
+    "denoise": 1500, "text": 600, "vae": 1500, "train": 600, "flow": 1200,
 }
 _PHASE_MIN_S = {
     "denoise": 240, "text": 90, "vae": 120, "train": 120, "flow": 240,
@@ -987,6 +1042,9 @@ def compose(results: dict, errors: dict, elapsed: float) -> dict:
     e2e_768 = add3(
         t_text, 50.0 * step_768 if step_768 is not None else None, t_dec_768
     )
+    e2e_768_int8 = add3(
+        t_text, 50.0 * step_768_q if step_768_q is not None else None, t_dec_768
+    )
     swaps = None
     if all(k in d for d, k in
            ((text, "t_swap_text"), (den, "t_swap_mmdit"), (vae, "t_swap_vae"))):
@@ -1030,8 +1088,11 @@ def compose(results: dict, errors: dict, elapsed: float) -> dict:
         # at 76k tokens): measured this run; headline stays bf16 until the
         # real-weights promotion criterion (docs/inference.md) is met
         "step_time_768px_int8qk8_s": _round(step_768_q, 3),
-        "e2e_768px_int8attn_s": _round(
-            add3(t_text, 50.0 * step_768_q if step_768_q else None, t_dec_768), 1
+        "e2e_768px_int8attn_s": _round(e2e_768_int8, 1),
+        # headline-adjacent ratio for the measured-in-artifact faster path
+        # (docs/inference.md round-5 amendment: reported, not defaulted)
+        "vs_baseline_768px_int8": _round(
+            baseline_768 / e2e_768_int8 if e2e_768_int8 else None, 4
         ),
         # --- serving swap accounting (VERDICT r2 item 5) ---
         # ANALYTIC rows (suffix says so): weight bytes / measured
