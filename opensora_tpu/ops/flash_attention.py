@@ -47,6 +47,38 @@ ANCHOR_MAX_LOG2 = 40.0
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 
+# Calibrated ceiling for _vmem_proxy_bytes (NOT real bytes — see there).
+# Anchors, measured on-chip: every validated pick sits below it — the
+# largest is the wide-head (768, 1536, 512) at 17.3M proxy units (runs:
+# the VAE mid-block) — and the one known-bad pick (1024, 1536, 512),
+# which Mosaic rejected at 16.87M real scoped bytes, lands at 21.0M
+# proxy units. The ceiling splits the two with margin on both sides.
+_VMEM_PROXY_BUDGET = 19 << 20
+
+
+def _vmem_proxy_bytes(block_q: int, block_k: int, dim: int) -> int:
+    """Proxy for a flash tile set's scoped-VMEM footprint.
+
+    Naive accounting — double-buffered bf16 q/k/v input tiles plus two
+    fp32 (bq, bk) score-sized intermediates — calibrated as an ORDERING
+    proxy, not an absolute byte count (Mosaic's allocator packs tighter;
+    the one measured overflow reported 16.87M real vs 21.0M proxy). Keeps
+    pick_blocks' accreting per-shape special cases safe: any new candidate
+    must come in under the ceiling the validated picks satisfy."""
+    in_tiles = 2 * (block_q * dim + 2 * block_k * dim) * 2
+    scores = 2 * block_q * block_k * 4
+    return in_tiles + scores
+
+
+def _check_vmem(bq: int, bk: int, dim: int) -> tuple[int, int]:
+    assert _vmem_proxy_bytes(bq, bk, dim) <= _VMEM_PROXY_BUDGET, (
+        f"block pick ({bq}, {bk}) at dim {dim} exceeds the calibrated "
+        f"VMEM proxy budget ({_vmem_proxy_bytes(bq, bk, dim)} > "
+        f"{_VMEM_PROXY_BUDGET}); re-sweep on-chip before raising the "
+        "ceiling (see pick_blocks docstring for the measured anchors)"
+    )
+    return bq, bk
+
 
 def pick_blocks(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
     """Static block-size heuristic, measured on v5e (NOTES_r1.md sweep +
@@ -78,7 +110,7 @@ def pick_blocks(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
         bk = 1024
     else:
         bk = 512
-    return min(bq, q_len), min(bk, kv_len)
+    return _check_vmem(min(bq, q_len), min(bk, kv_len), dim)
 
 
 def pick_blocks_bwd(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
@@ -100,7 +132,7 @@ def pick_blocks_bwd(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
         bk = 1024
     else:
         bk = 512
-    return min(bq, q_len), min(bk, kv_len)
+    return _check_vmem(min(bq, q_len), min(bk, kv_len), dim)
 
 
 def _zero_tail_rows(x, blk_idx, block, valid_len):

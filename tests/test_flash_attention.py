@@ -108,3 +108,29 @@ def test_odd_length_above_dispatch_threshold():
     out = flash_attention(q, k, v, interpret=True)  # pick_blocks path
     ref = xla_attention(q, k, v)
     assert jnp.abs(out - ref).max() < 5e-3
+
+
+def test_block_pickers_respect_vmem_proxy_budget():
+    """Every heuristic pick must clear the calibrated VMEM proxy ceiling
+    (the heuristics accrete per-shape special cases; the guard keeps new
+    candidates inside the envelope the validated picks satisfy). The one
+    known-bad tile set — (1024, 1536) at the VAE's head_dim 512, rejected
+    by Mosaic on-chip at 16.87M scoped bytes — must trip the assert."""
+    from opensora_tpu.ops.flash_attention import (
+        _check_vmem,
+        pick_blocks,
+        pick_blocks_bwd,
+    )
+
+    # representative shapes: train 256px, serving 129f, 768px serving
+    # (exact-division 1664 path), VAE wide-head, short sequences
+    for q_len, kv_len, dim in [
+        (2816, 2816, 128), (8828, 8828, 128), (9340, 9340, 128),
+        (76544, 76544, 128), (13056, 13056, 512), (512, 512, 128),
+        (260, 260, 128),
+    ]:
+        pick_blocks(q_len, kv_len, dim)       # asserts internally
+        pick_blocks_bwd(q_len, kv_len, dim)   # asserts internally
+
+    with pytest.raises(AssertionError, match="VMEM proxy budget"):
+        _check_vmem(1024, 1536, 512)
