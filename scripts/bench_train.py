@@ -30,6 +30,8 @@ def block_flops(hidden: int, mlp_ratio: float, n_tokens: int, depth_double: int,
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +41,15 @@ def main():
     from opensora_tpu.utils.optimizer import create_optimizer
     from opensora_tpu.utils.sampling import build_img_ids
 
-    latent_t, latent_h, latent_w, txt_len = 9, 32, 32, 512
+    ap = argparse.ArgumentParser()
+    # latent_t 9 = 33 frames (the stage-1 training shape); 33 = 129 frames
+    # (stage-2 video shape — NOTES_r1: "dots" OOMs there, use offload/full)
+    ap.add_argument("--latent_t", type=int, default=9)
+    ap.add_argument("--remat_policy", default="dots",
+                    choices=["dots", "full", "offload", "none"])
+    args = ap.parse_args()
+
+    latent_t, latent_h, latent_w, txt_len = args.latent_t, 32, 32, 512
     B = 1
     depth, depth_single = 2, 4
 
@@ -47,7 +57,8 @@ def main():
         in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
         mlp_ratio=4.0, num_heads=24, depth=depth, depth_single_blocks=depth_single,
         axes_dim=[16, 56, 56], qkv_bias=True, guidance_embed=True, cond_embed=True,
-        dtype="bf16", param_dtype="bf16", remat=True, remat_policy="dots",
+        dtype="bf16", param_dtype="bf16",
+        remat=args.remat_policy != "none", remat_policy=args.remat_policy,
     )
     model = MMDiTModel(cfg)
 
@@ -104,10 +115,11 @@ def main():
     scale = block_flops(3072, 4.0, n_tokens, 19, 38) / block_flops(
         3072, 4.0, n_tokens, depth, depth_single
     )
+    frames = 1 + 4 * (latent_t - 1)  # causal-VAE temporal compression
     print(json.dumps({
         "metric": "mmdit_256px_train_steps_per_sec_11b_equiv",
         "value": round(1.0 / (dt * scale), 4),
-        "unit": "steps/s/chip (bs=1, 33f 256px)",
+        "unit": f"steps/s/chip (bs=1, {frames}f 256px, remat={args.remat_policy})",
         "vs_baseline": None,
         "detail": {
             "measured_step_time_s": round(dt, 4),

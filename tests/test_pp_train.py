@@ -191,3 +191,28 @@ def test_pp_forward_with_cond_and_guidance():
     fwd = make_pp_forward(model, mesh, n_micro=4)
     out = jax.jit(lambda p: fwd(p, **args))(params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_pp_tp_train_step_matches_pp(setup):
+    """PP × TP hybrid (reference HybridParallelPlugin tp×pp,
+    utils/train.py:100-128): stage params additionally tp-shard their
+    qkv/proj/mlp features; 'tp' stays a GSPMD auto axis inside the
+    shard_map body (pipeline_apply auto_axes). Same data/RNG → the same
+    loss and grad-norm as pure PP (both schedules are exact)."""
+    model, batch, params, tx = setup
+    _, m_pp = _run_pp(model, batch, params, tx)
+    mesh = create_pp_mesh(pp=2, data=2, tp=2)
+    state = TrainState.create(params, tx, ema=True)
+    shardings = pp_state_shardings(mesh, state)
+    state = jax.device_put(state, shardings)
+    fwd = make_pp_forward(model, mesh, n_micro=4)
+    step = make_train_step(model, tx, forward_fn=fwd)
+    jstep = jax.jit(
+        step, in_shardings=(shardings, None, None),
+        out_shardings=(shardings, None),
+    )
+    _, m = jstep(state, batch, jax.random.PRNGKey(42))
+    np.testing.assert_allclose(float(m["loss"]), float(m_pp["loss"]), rtol=2e-5)
+    np.testing.assert_allclose(
+        float(m["grad_norm"]), float(m_pp["grad_norm"]), rtol=2e-4
+    )
