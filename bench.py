@@ -903,12 +903,70 @@ def bench_train(log):
     log(f"train step({depth}+{depth_single} blocks, {n_tokens} tok) {t_step:.3f}s = "
         f"{tflops:.0f} model TFLOP/s (3x-fwd convention) -> 11B analytic "
         f"{t_step_11b:.2f}s/step")
-    return {
+    out = {
         "t_train_step": t_step,
         "train_model_tflops": tflops,
         "t_train_step_11b_analytic": t_step_11b,
         "train_tokens": n_tokens,
     }
+    _emit(out)
+
+    # 129f stage-2 video shape (L=8448+512) if the deadline allows: same
+    # params (MMDiT weights are sequence-length-independent — reuse the
+    # generated tree), "offload" remat ("dots" OOMs at this length,
+    # NOTES_r1), fresh jit. Attention dominates at this length, so this
+    # row is where the bwd-grid tuning shows (87.8 vs 75.9 TFLOP/s at 33f
+    # in the round-5 builder runs).
+    if not SMOKE and _time_left() > 240:
+        lt2 = 33
+        cfg2 = MMDiTConfig(
+            **{**_mmdit_base(), "depth": depth,
+               "depth_single_blocks": depth_single},
+            remat=True, remat_policy="offload",
+        )
+        model2 = MMDiTModel(cfg2)
+        L2 = lt2 * hp * wp
+        batch2 = dict(
+            batch,
+            x0=jax.random.normal(jax.random.PRNGKey(4), (B, L2, inc), dtype),
+            img_ids=build_img_ids(lt2, latent_h, latent_w, 2, B),
+            cond=jax.random.normal(
+                jax.random.PRNGKey(5), (B, L2, inc + 4), dtype
+            ),
+        )
+        step2 = jax.jit(
+            make_train_step(model2, tx, text_dropout_prob=0.1),
+            donate_argnums=(0,),
+        )
+
+        def one_step2():
+            holder["state"], metrics = step2(
+                holder["state"], batch2, jax.random.PRNGKey(1)
+            )
+            return metrics["loss"]
+
+        t_step2 = _timed(one_step2, lambda o: jax.device_get(o), n1=2, n2=8)
+        n_tok2 = L2 + txt_len
+
+        def block_flops2(dd, ds):
+            d = cfg.hidden_size
+            mlp = int(d * cfg.mlp_ratio)
+            lin_double = 3 * d * d + d * d + 2 * d * mlp
+            lin_single = (3 * d * d + d * mlp) + (d + mlp) * d
+            attn = 2 * n_tok2 * d
+            return 2 * n_tok2 * (
+                (lin_double + attn) * dd + (lin_single + attn) * ds
+            )
+
+        tflops2 = 3.0 * B * block_flops2(depth, depth_single) / t_step2 / 1e12
+        log(f"train step 129f({depth}+{depth_single} blocks, {n_tok2} tok, "
+            f"offload remat) {t_step2:.3f}s = {tflops2:.0f} model TFLOP/s")
+        out.update({
+            "t_train_step_129f": t_step2,
+            "train_model_tflops_129f": tflops2,
+            "train_tokens_129f": n_tok2,
+        })
+    return out
 
 
 def _setup_jax():
@@ -1127,6 +1185,13 @@ def compose(results: dict, errors: dict, elapsed: float) -> dict:
         # --- training throughput (VERDICT r2 item 3) ---
         "train_step_s_2x4_blocks": _round(train.get("t_train_step"), 4),
         "train_model_tflops": _round(train.get("train_model_tflops"), 1),
+        # 129f stage-2 shape, offload remat (deadline-gated sub-measurement)
+        "train_step_129f_s_2x4_blocks": _round(
+            train.get("t_train_step_129f"), 4
+        ),
+        "train_model_tflops_129f": _round(
+            train.get("train_model_tflops_129f"), 1
+        ),
         "train_step_11b_s_analytic": _round(
             train.get("t_train_step_11b_analytic"), 2
         ),
