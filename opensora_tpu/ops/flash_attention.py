@@ -115,15 +115,19 @@ def pick_blocks(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
 
 def pick_blocks_bwd(q_len: int, kv_len: int, dim: int = 128) -> tuple[int, int]:
     """Backward-grid block heuristic, measured separately from the forward
-    (round-5 on-chip sweep, ``scripts/microbench.py flashbwd``): the bwd
-    kernels favor bq=768 at dim 128 — (768, 1536) beats the fwd
-    heuristic's (512, 1536) by 1.28x at the train shape L=2816 (2.9 vs
-    3.7 ms) and is best-in-sweep at L=9340 (34.6 ms, vs 35.0 for the fwd
-    pick (1024, 1536)). Wide heads keep the fwd heuristic: its VMEM
-    reasoning applies unchanged and the bwd was never measured there."""
+    (round-5 on-chip sweeps, ``scripts/microbench.py flashbwd``): the bwd
+    kernels favor bq=768 at dim 128 for train-scale lengths — (768, 1536)
+    beats the fwd heuristic's (512, 1536) by 1.28x at the train shape
+    L=2816 (2.9 vs 3.7 ms) and is best-in-sweep at L=9340 (34.6 ms, vs
+    35.0 for the fwd pick (1024, 1536)). At the 768px serving-scale
+    length L=76544 the ordering flips: (1024, 1664) is best-in-sweep
+    (573.4 ms / 439.5 TFLOP/s-equiv, 5% over (768, 1536)) — hence the
+    16384 threshold (between the two measured regimes). Wide heads keep
+    the fwd heuristic: its VMEM reasoning applies unchanged and the bwd
+    was never measured there."""
     if dim > 128:
         return pick_blocks(q_len, kv_len, dim)
-    bq = 768 if q_len >= 1024 else 256
+    bq = 256 if q_len < 1024 else (768 if q_len < 16384 else 1024)
     if kv_len >= 2560:
         bk = 1536
         if kv_len % 1536 != 0 and kv_len % 1664 == 0:

@@ -317,14 +317,19 @@ def suite_flashbwd():
               flush=True)
         for bq, bk in cands:
             try:
+                # lse/do/delta ride as jit ARGUMENTS: closed-over arrays
+                # become module constants, and at the 768px shape the
+                # 470 MiB `do` constant trips the tunnel's request-size
+                # limit (HTTP 413) before the compiler even runs
                 dt, tf = _bench(
                     jax,
-                    lambda q, k, v, bq=bq, bk=bk: _flash_backward_impl(
+                    lambda q, k, v, lse, do, delta, bq=bq, bk=bk:
+                    _flash_backward_impl(
                         q, k, v, lse, do, delta,
                         sm_scale=D ** -0.5, block_q=bq, block_k=bk,
                         causal_block=None,
                     )[0],
-                    q, k, v, flops=fl, n2=6,
+                    q, k, v, lse, do, delta, flops=fl, n2=6,
                 )
             except Exception as e:  # noqa: BLE001 — VMEM overflows expected
                 print(f"bwd ({bq},{bk}): FAILED {type(e).__name__}", flush=True)
