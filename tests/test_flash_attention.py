@@ -32,18 +32,27 @@ def test_lse_matches_reference():
     assert jnp.abs(lse - ref_lse).max() < 1e-3
 
 
-def test_backward_matches_reference():
-    B, H, L, D = 1, 2, 384, 128
+@pytest.mark.parametrize("L,causal_block,blocks", [
+    (384, None, (128, 128)),
+    (320, 64, (128, 128)),     # frame-causal mask through the bwd kernels
+    (384, None, (None, None)), # auto path: pick_blocks fwd / pick_blocks_bwd
+])
+def test_backward_matches_reference(L, causal_block, blocks):
+    B, H, D = 1, 2, 128
+    bq, bk = blocks
 
     q, k, v = (_rand((B, H, L, D), s) for s in range(3))
 
     def loss_flash(q, k, v):
         return (
-            flash_attention(q, k, v, block_q=128, block_k=128, interpret=True) ** 2
+            flash_attention(
+                q, k, v, block_q=bq, block_k=bk, causal_block=causal_block,
+                interpret=True,
+            ) ** 2
         ).sum()
 
     def loss_ref(q, k, v):
-        return (xla_attention(q, k, v) ** 2).sum()
+        return (xla_attention(q, k, v, causal_block=causal_block) ** 2).sum()
 
     g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
