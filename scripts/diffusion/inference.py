@@ -40,13 +40,38 @@ def main():
     import opensora_tpu.models.text.conditioner  # noqa: F401
     import opensora_tpu.datasets.datasets  # noqa: F401
 
-    # allow --prompt shortcut before generic parsing
+    # allow --prompt / advanced-usage shortcuts before generic parsing
+    # (reference README "Advanced Usage": --motion-score, --refine-prompt,
+    # --num-sample; reference scripts/diffusion/inference.py:42-238)
     argv = sys.argv[1:]
     prompt = None
     if "--prompt" in argv:
         i = argv.index("--prompt")
         prompt = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    motion_score = None
+    for flag in ("--motion-score", "--motion_score"):
+        if flag in argv:
+            i = argv.index(flag)
+            motion_score = argv[i + 1]  # int-like or "dynamic"
+            argv = argv[:i] + argv[i + 2:]
+    refine = False
+    for flag in ("--refine-prompt", "--refine_prompt"):
+        if flag in argv:
+            i = argv.index(flag)
+            # reference usage passes an explicit True/False value; the
+            # bare flag also works
+            has_val = i + 1 < len(argv) and not argv[i + 1].startswith("--")
+            val = argv[i + 1] if has_val else "True"
+            refine = val.lower() in ("1", "true", "yes")
+            argv = argv[:i] + argv[i + (2 if has_val else 1):]
+            break
+    num_sample = 1
+    for flag in ("--num-sample", "--num_sample"):
+        if flag in argv:
+            i = argv.index(flag)
+            num_sample = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2:]
 
     cfg = parse_configs(argv)
     logger = create_logger()
@@ -54,10 +79,17 @@ def main():
 
     # dataset: inline prompt or csv/parquet prompt file
     if prompt is not None:
+        import csv
         import tempfile
 
-        tmp = tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False)
-        tmp.write("text\n" + prompt.replace('"', "'") + "\n")
+        tmp = tempfile.NamedTemporaryFile(
+            "w", suffix=".csv", delete=False, newline=""
+        )
+        # csv-quote: a bare write drops everything before a comma in
+        # prompts like "raining, sea" (round-5 regression find)
+        w = csv.writer(tmp)
+        w.writerow(["text"])
+        w.writerow([prompt])
         tmp.close()
         cfg.dataset = dict(cfg.get("dataset", {"type": "text"}))
         cfg.dataset["data_path"] = tmp.name
@@ -106,6 +138,17 @@ def main():
     sample_idx = 0
     for batch in dataloader:
         texts = batch["text"]
+        if refine:
+            # GPT-backed in the reference; identity offline (prompt_refine)
+            from opensora_tpu.utils.prompt_refine import refine_prompts
+
+            texts = refine_prompts(
+                list(texts), type="t2i" if t2i2v else "t2v"
+            )
+        if motion_score is not None:
+            from opensora_tpu.utils.inference import add_motion_score_to_text
+
+            texts = add_motion_score_to_text(list(texts), motion_score)
         kwargs = {}
         if "ref" in batch:
             kwargs["ref"] = batch["ref"]
@@ -124,21 +167,29 @@ def main():
                 )
                 refs.append(p)
             kwargs["ref"] = refs
-        with timers("generate"):
-            x = api_fn(
-                opt,
-                cond_type=cond_type,
-                text=texts,
-                neg=batch.get("neg"),
-                patch_size=cfg.get("patch_size", 2),
-                channel=cfg["model"]["in_channels"],
-                **kwargs,
+        # --num-sample k: k videos per prompt, seeds offset per sample
+        # (reference README "Reproductivity"); t2i2v refs are generated
+        # once per batch (fixed first frame, varied video seed)
+        base_seed = opt.seed if opt.seed is not None else 42
+        for j in range(num_sample):
+            with timers("generate"):
+                x = api_fn(
+                    opt,
+                    cond_type=cond_type,
+                    seed=base_seed + j if num_sample > 1 else None,
+                    text=texts,
+                    neg=batch.get("neg"),
+                    patch_size=cfg.get("patch_size", 2),
+                    channel=cfg["model"]["in_channels"],
+                    **kwargs,
+                )
+            x = np.asarray(jax.device_get(x))
+            ids = list(range(sample_idx, sample_idx + len(texts)))
+            paths = process_and_save(
+                x, ids, save_dir, fps=fps_save, prompts=texts
             )
-        x = np.asarray(jax.device_get(x))
-        ids = list(range(sample_idx, sample_idx + len(texts)))
-        paths = process_and_save(x, ids, save_dir, fps=fps_save, prompts=texts)
-        logger.info("saved %s", paths)
-        sample_idx += len(texts)
+            logger.info("saved %s", paths)
+            sample_idx += len(texts)
     logger.info("done: %s", timers.to_dict())
 
 
