@@ -42,7 +42,11 @@ def build_demo(cfg_path: str):
     model, ae, t5, clip, optional = prepare_models(cfg, dtype=cfg.get("dtype", "bf16"))
     api_fn = prepare_api(model, ae, t5, clip, optional)
 
-    def generate(prompt, resolution, aspect_ratio, num_frames, num_steps, guidance, seed):
+    def generate(prompt, resolution, aspect_ratio, num_frames, num_steps,
+                 guidance, seed, motion_score, refine):
+        from opensora_tpu.utils.inference import add_motion_score_to_text
+        from opensora_tpu.utils.prompt_refine import refine_prompts
+
         opt = sanitize_sampling_option(
             SamplingOption(
                 resolution=resolution, aspect_ratio=aspect_ratio,
@@ -52,7 +56,12 @@ def build_demo(cfg_path: str):
                 seed=int(seed) if seed else None,
             )
         )
-        text = add_fps_info_to_text([prompt])
+        text = [prompt]
+        if refine:  # GPT-backed in the reference; identity offline
+            text = refine_prompts(text, type="t2v")
+        if int(motion_score) > 0:
+            text = add_motion_score_to_text(text, int(motion_score))
+        text = add_fps_info_to_text(text)
         x = np.asarray(api_fn(opt, text=text, channel=cfg["model"]["in_channels"]))
         out = save_sample(x[0], "/tmp/gradio_sample", fps=16)
         return out
@@ -68,9 +77,23 @@ def build_demo(cfg_path: str):
             steps = gr.Slider(10, 50, value=50, step=1, label="Steps")
             guidance = gr.Slider(1.0, 10.0, value=7.5, label="Guidance")
             seed = gr.Number(value=42, label="Seed")
+        with gr.Row():
+            motion = gr.Slider(
+                0, 7, value=4, step=1,
+                label="Motion score (0 = off)",
+            )
+            refine = gr.Checkbox(
+                value=False,
+                label="Refine prompt (identity offline)",
+            )
         btn = gr.Button("Generate")
         video = gr.Video(label="Result")
-        btn.click(generate, [prompt, resolution, aspect, frames, steps, guidance, seed], video)
+        btn.click(
+            generate,
+            [prompt, resolution, aspect, frames, steps, guidance, seed,
+             motion, refine],
+            video,
+        )
     return demo
 
 
